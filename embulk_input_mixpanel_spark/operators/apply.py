@@ -1,0 +1,227 @@
+"""apply_batch — one micro-batch through the full CDC pipeline.
+
+Pipeline (each stage cites its reference analog):
+
+1. **bounds filter** — ``lo < event_seq <= hi`` (incremental-bounds
+   predicate + upper-bound lock; reference:
+   lib/embulk/input/service/export_service.rb:212-217,239-243). Pure
+   predicate → Catalyst pushes it into the scan.
+2. **row-level HWM skip** — drop ``event_seq <= hwm[source_partition]``
+   (watermark dedup; export_service.rb:102-107), counted per partition
+   (skip counters; export_service.rb:134-136).
+3. **latest-wins reduction** — one winner per (repo, path) by
+   (commit_seq, event_seq, event_id) via partial-aggregating ``max_by``
+   (see operators.merge for why this is skew-proof). Duplicate event_ids
+   collapse here for free: a redelivery carries the same key and order
+   tuple, so no separate dedup shuffle is spent on it
+   (dedup; export_service.rb:102-107 + BASELINE.json event-id dedup).
+4. **flatten + schema evolution** — parse ``props`` JSON *after* the
+   reduction (cheapest point), promote known keys to ``p_<key>`` columns,
+   discover new keys exactly (distinct over winners), evolve the table
+   schema additively; unknown keys remain in a residual JSON column
+   (custom_properties/unknown_columns analog;
+   export_service.rb:188-203,257-280).
+5. **content hashing** — ``content_sha = sha2(content, 256)`` JVM-side
+   (the per-row invariant vs the oracle replay).
+6. **bucket-pruned MERGE** — only buckets present in the batch are read
+   and rewritten (copy-on-write); commit is one atomic snapshot carrying
+   data + HWM + cursor (exactly-once; mixpanel.rb:34-46 made atomic).
+
+Metrics come from a column-pruned pre-aggregation (event_seq,
+source_partition only) plus ``df.observe`` on the write job itself — no
+extra pass over payload data.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.checkpoint import checkpoint_properties, get_hwm_map
+from ..plans.windows import Batch
+from ..sources.lake import LakeTable
+from .merge import latest_wins, merge_upsert
+
+__all__ = ["apply_batch", "ApplyResult", "base_table_schema", "KEY_COLS", "ORDER_COLS"]
+
+KEY_COLS = ["repo", "path"]
+ORDER_COLS = ["commit_seq", "event_seq"]
+
+_BASE_FIELDS = [
+    ("repo", T.StringType()),
+    ("path", T.StringType()),
+    ("commit", T.StringType()),
+    ("lang", T.StringType()),
+    ("content", T.StringType()),
+    ("content_sha", T.StringType()),
+    ("commit_seq", T.LongType()),
+    ("event_seq", T.LongType()),
+    ("event_id", T.StringType()),
+    ("ts_ms", T.LongType()),
+    ("source_partition", T.IntegerType()),
+    ("props_rest", T.StringType()),
+]
+
+
+def base_table_schema(prop_keys: list[str] | None = None) -> T.StructType:
+    fields = [T.StructField(n, t, True) for n, t in _BASE_FIELDS]
+    for k in prop_keys or []:
+        fields.append(T.StructField(f"p_{k}", T.StringType(), True))
+    return T.StructType(fields)
+
+
+@dataclass
+class ApplyResult:
+    batch_index: int
+    committed: bool
+    version: int
+    rows_in: int
+    rows_skipped_hwm: int
+    distinct_events: int
+    keys_upserted: int
+    rows_in_touched_after: int
+    touched_buckets: int
+    new_prop_keys: list[str]
+    hwm_before: dict[int, int]
+    hwm_after: dict[int, int]
+    seconds: float
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+def _hwm_filter(hwm_map: dict[int, int]) -> F.Column:
+    """event_seq > hwm[source_partition], default -1 for unseen partitions."""
+    if not hwm_map:
+        return F.lit(True)
+    pairs: list[F.Column] = []
+    for k, v in sorted(hwm_map.items()):
+        pairs += [F.lit(int(k)), F.lit(int(v))]
+    m = F.create_map(*pairs)
+    bound = F.coalesce(m[F.col("source_partition")], F.lit(-1))
+    return F.col("event_seq") > bound
+
+
+def apply_batch(
+    table: LakeTable,
+    events: DataFrame,
+    batch: Batch,
+    promoted_keys: list[str] | None = None,
+    auto_evolve: bool = True,
+) -> ApplyResult:
+    """Apply one planned batch of change events to the lake table."""
+    t0 = time.time()
+    spark = table.spark
+    hwm_before = get_hwm_map(table)
+
+    bounded = events.filter(
+        (F.col("event_seq") > F.lit(batch.lo)) & (F.col("event_seq") <= F.lit(batch.hi))
+    )
+
+    # --- metrics + HWM pre-aggregation (column-pruned: 3 narrow columns) ---
+    keep = _hwm_filter(hwm_before)
+    stats = (
+        bounded.select("source_partition", "event_seq", "event_id")
+        .groupBy("source_partition")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(~keep, 1).otherwise(0)).alias("n_skipped"),
+            F.max("event_seq").alias("max_seq"),
+            F.count_distinct("event_id").alias("n_distinct"),
+        )
+        .collect()
+    )
+    rows_in = sum(r["n"] for r in stats)
+    rows_skipped = sum(r["n_skipped"] for r in stats)
+    distinct_events = sum(r["n_distinct"] for r in stats)
+    hwm_after = dict(hwm_before)
+    for r in stats:
+        p, mx = int(r["source_partition"]), int(r["max_seq"])
+        hwm_after[p] = max(hwm_after.get(p, -1), mx)
+
+    props = checkpoint_properties(hwm_after, cursor_seq=batch.hi, last_batch=batch.index)
+
+    if rows_in - rows_skipped == 0:
+        snap = table.commit_properties(props)
+        return ApplyResult(
+            batch.index, True, snap.version, rows_in, rows_skipped, distinct_events,
+            0, 0, 0, [], hwm_before, hwm_after, time.time() - t0,
+        )
+
+    survivors = bounded.filter(keep)
+
+    # --- latest-wins reduction (one shuffle; partial agg kills skew) ---
+    winners = latest_wins(survivors, KEY_COLS, ORDER_COLS, tiebreak_col="event_id")
+
+    # --- flatten props + schema evolution (post-reduction = cheapest) ---
+    promoted = list(promoted_keys) if promoted_keys is not None else _current_promoted(table)
+    winners = winners.withColumn("_pm", F.from_json("props", T.MapType(T.StringType(), T.StringType())))
+    new_keys: list[str] = []
+    if auto_evolve:
+        found = sorted(
+            r[0]
+            for r in winners.select(F.explode(F.map_keys("_pm")).alias("k")).distinct().collect()
+        )
+        new_keys = [k for k in found if k not in promoted]
+        promoted = promoted + new_keys
+
+    known_arr = F.array(*[F.lit(k) for k in promoted]) if promoted else F.array().cast("array<string>")
+    payload = winners.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2("content", 256).alias("content_sha"),
+        "commit_seq",
+        "event_seq",
+        "event_id",
+        "ts_ms",
+        "source_partition",
+        "op",
+        F.to_json(F.map_filter("_pm", lambda k, _: ~F.array_contains(known_arr, k))).alias("props_rest"),
+        *[F.col("_pm").getItem(k).alias(f"p_{k}") for k in promoted],
+    )
+
+    out_schema = table.evolve_schema([T.StructField(f"p_{k}", T.StringType(), True) for k in new_keys])
+
+    # --- bucket-pruned copy-on-write MERGE ---
+    nb = table.num_buckets
+    payload = payload.withColumn("bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int"))
+    touched = sorted(r[0] for r in payload.select("bucket").distinct().collect())
+
+    target = table.read(buckets=touched)
+
+    obs_keys = Observation("keys")
+    payload = payload.observe(obs_keys, F.count(F.lit(1)).alias("n_winners"))
+
+    merged = merge_upsert(target.drop("bucket"), payload.drop("bucket"), KEY_COLS, ORDER_COLS)
+    merged = merged.withColumn("bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int"))
+
+    obs_out = Observation("out")
+    merged = merged.observe(obs_out, F.count(F.lit(1)).alias("n_out"))
+
+    snap = table.commit_rewrite(merged, touched, properties=props, schema=out_schema)
+
+    return ApplyResult(
+        batch_index=batch.index,
+        committed=True,
+        version=snap.version,
+        rows_in=rows_in,
+        rows_skipped_hwm=rows_skipped,
+        distinct_events=distinct_events,
+        keys_upserted=int(obs_keys.get["n_winners"]),
+        rows_in_touched_after=int(obs_out.get["n_out"]),
+        touched_buckets=len(touched),
+        new_prop_keys=new_keys,
+        hwm_before=hwm_before,
+        hwm_after=hwm_after,
+        seconds=time.time() - t0,
+    )
+
+
+def _current_promoted(table: LakeTable) -> list[str]:
+    return [f.name[2:] for f in table.schema.fields if f.name.startswith("p_")]

@@ -1,0 +1,149 @@
+"""Replay orchestration: plan -> apply -> commit -> checkpoint, resumable.
+
+The ``transaction``/``run`` analog (reference: lib/embulk/input/mixpanel.rb:9-60;
+ingest loop export_service.rb:67-144): slice the stream into micro-batches,
+apply each through the CDC pipeline, commit exactly-once, resume from the
+snapshot checkpoint after any interruption.
+
+Also carries the reference's *preview* mode — first batch only, limited
+rows, no checkpoint mutation (base_service.rb:68-74; export_service.rb:91,140)
+— and per-batch retry with backoff (base_service.rb:90-99).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .operators.apply import ApplyResult, apply_batch, base_table_schema
+from .plans.checkpoint import get_cursor
+from .plans.windows import BatchPlanner, ConfigError
+from .functions.retry import with_retry
+from .sources.lake import LakeTable
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ReplayReport", "replay", "preview", "open_or_create"]
+
+
+@dataclass
+class ReplayReport:
+    batches: list[ApplyResult] = field(default_factory=list)
+
+    @property
+    def rows_in(self) -> int:
+        return sum(b.rows_in for b in self.batches)
+
+    @property
+    def rows_skipped(self) -> int:
+        return sum(b.rows_skipped_hwm for b in self.batches)
+
+    @property
+    def keys_upserted(self) -> int:
+        return sum(b.keys_upserted for b in self.batches)
+
+    @property
+    def seconds(self) -> float:
+        return sum(b.seconds for b in self.batches)
+
+
+def open_or_create(
+    spark: SparkSession,
+    path: str,
+    num_buckets: int = 64,
+    prop_keys: list[str] | None = None,
+) -> LakeTable:
+    t = LakeTable(spark, path)
+    if not t.exists():
+        t = LakeTable.create(spark, path, base_table_schema(prop_keys), num_buckets=num_buckets)
+    return t
+
+
+def replay(
+    table: LakeTable,
+    events: DataFrame,
+    upper_bound: int,
+    slice_size: int,
+    backfill: int = 0,
+    retry_limit: int = 2,
+    retry_wait: float = 0.1,
+    fail_injector=None,
+    max_batches: int | None = None,
+) -> ReplayReport:
+    """Apply all events with ``cursor < event_seq <= upper_bound``.
+
+    - ``upper_bound`` is locked by the caller at plan time (the
+      job_start - delay lock, export_service.rb:239-243).
+    - Resume: batches whose window is already below the committed cursor
+      are planned away entirely; a partially-applied batch cannot exist
+      (snapshot atomicity), so re-running after a crash is exactly-once.
+    - ``fail_injector(batch_index)`` is a test hook raising mid-run.
+    """
+    cursor = get_cursor(table)
+    if upper_bound <= cursor:
+        logger.info("nothing to do: upper_bound %d <= cursor %d", upper_bound, cursor)
+        return ReplayReport()
+    planner = BatchPlanner(hwm=cursor, upper_bound=upper_bound, slice_size=slice_size, backfill=backfill)
+
+    report = ReplayReport()
+
+    @with_retry(limit=retry_limit, initial_wait=retry_wait)
+    def _apply_one(batch):
+        if fail_injector is not None:
+            fail_injector(batch.index)
+        return apply_batch(table, events, batch)
+
+    for i, batch in enumerate(planner):
+        if max_batches is not None and i >= max_batches:
+            break
+        res = _apply_one(batch)
+        logger.info(
+            "batch %d (%d,%d]: in=%d skipped=%d keys=%d -> v%d in %.2fs",
+            batch.index, batch.lo, batch.hi, res.rows_in, res.rows_skipped_hwm,
+            res.keys_upserted, res.version, res.seconds,
+        )
+        report.batches.append(res)
+    return report
+
+
+def preview(
+    table: LakeTable, events: DataFrame, upper_bound: int, slice_size: int, limit: int = 10
+) -> DataFrame:
+    """Bounded dry run: first slice only, ``limit`` rows, no state change.
+
+    (reference: preview? short-circuit, export_service.rb:91,140;
+    SMALL_NUM_OF_RECORDS=10, client.rb:15)
+    """
+    cursor = get_cursor(table)
+    if upper_bound <= cursor:
+        return table.spark.createDataFrame([], events.schema)
+    planner = BatchPlanner(hwm=cursor, upper_bound=upper_bound, slice_size=slice_size)
+    first = planner.batches[0]
+    from pyspark.sql import functions as F
+
+    return events.filter(
+        (F.col("event_seq") > first.lo) & (F.col("event_seq") <= first.hi)
+    ).limit(limit)
+
+
+def guess_schema(events: DataFrame, sample: int = 10) -> T.StructType:
+    """Schema inference from a bounded sample — the ``guess`` analog.
+
+    The reference samples 10 records and runs SchemaGuess
+    (export_service.rb:188-203; client.rb:15). Spark's JSON reader performs
+    the same per-field type widening; we infer over the sampled ``props``
+    JSON and return the full flattened schema.
+    """
+    spark = events.sparkSession
+    rows = events.select("props").limit(sample).collect()
+    rdd_free = spark.createDataFrame([(r[0],) for r in rows], ["props"])
+    inferred = spark.read.json(rdd_free.select("props").rdd.map(lambda r: r[0]))
+    prop_fields = [
+        T.StructField(f"p_{f.name}", f.dataType, True)
+        for f in inferred.schema.fields
+        if not f.name.startswith("_corrupt")
+    ]
+    return T.StructType(list(base_table_schema().fields) + prop_fields)

@@ -1,0 +1,109 @@
+"""Lake table format: atomic snapshots, bucket pruning, schema evolution."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from embulk_input_mixpanel_spark.sources.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _with_bucket(df, nb):
+    return df.withColumn("bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int"))
+
+
+def test_create_read_empty(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=4)
+    assert t.exists()
+    assert t.version == 0
+    assert t.read().count() == 0
+    assert t.read().schema == SCHEMA
+
+
+def test_commit_and_time_travel(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=4)
+    df1 = _with_bucket(spark.createDataFrame([("r1", "a", 1), ("r2", "b", 1)], SCHEMA), 4)
+    touched = [r[0] for r in df1.select("bucket").distinct().collect()]
+    t.commit_rewrite(df1, touched, properties={"hwm": {"0": 10}})
+    assert t.version == 1
+    assert t.read().count() == 2
+    assert t.properties["hwm"] == {"0": 10}
+
+    df2 = _with_bucket(spark.createDataFrame([("r1", "a", 2)], SCHEMA), 4)
+    b = df2.select("bucket").first()[0]
+    # new contents for bucket b = just this row (overwrites what was there)
+    t.commit_rewrite(df2, [b], properties={"hwm": {"0": 20}})
+    assert t.version == 2
+
+    # time travel: v1 still readable and unchanged
+    assert t.read(version=1).count() == 2
+    assert {r["v"] for r in t.read(version=1).collect()} == {1}
+
+
+def test_bucket_pruned_read_opens_only_touched_files(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=8)
+    rows = [(f"r{i}", f"p{i}", i) for i in range(50)]
+    df = _with_bucket(spark.createDataFrame(rows, SCHEMA), 8)
+    touched = sorted(r[0] for r in df.select("bucket").distinct().collect())
+    t.commit_rewrite(df, touched)
+    snap = t.snapshot()
+    some = [int(b) for b in list(snap.files)[:2]]
+    pruned = t.read(buckets=some)
+    full = t.read()
+    assert 0 < pruned.count() < full.count()
+    # pruned scan must reference strictly fewer files
+    n_files_pruned = sum(len(snap.files[str(b)]) for b in some)
+    assert n_files_pruned < len(snap.all_files())
+
+
+def test_schema_evolution_old_files_read_null(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=2)
+    df = _with_bucket(spark.createDataFrame([("r1", "a", 1)], SCHEMA), 2)
+    b1 = df.select("bucket").first()[0]
+    t.commit_rewrite(df, [b1])
+
+    new_schema = t.evolve_schema([T.StructField("extra", T.StringType(), True)])
+    df2 = spark.createDataFrame([("r9", "z", 2, "hello")], new_schema)
+    df2 = _with_bucket(df2, 2)
+    b2 = df2.select("bucket").first()[0]
+    if b2 == b1:  # keep old file alive: write into the other bucket via key choice
+        df2 = _with_bucket(
+            spark.createDataFrame([("r8", "y", 2, "hello")], new_schema), 2
+        )
+        b2 = df2.select("bucket").first()[0]
+    t.commit_rewrite(df2, [b2], schema=new_schema)
+
+    out = t.read().orderBy("v").collect()
+    assert [f.name for f in t.schema.fields][-1] == "extra"
+    by_v = {r["v"]: r for r in out}
+    assert by_v[1]["extra"] is None  # old file: evolved column reads NULL
+    if 2 in by_v:
+        assert by_v[2]["extra"] == "hello"
+
+
+def test_commit_properties_only(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=2)
+    v0_files = t.snapshot().files
+    t.commit_properties({"cursor_seq": 99})
+    assert t.version == 1
+    assert t.properties["cursor_seq"] == 99
+    assert t.snapshot().files == v0_files
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, tmp_table_dir):
+    """Data staged but snapshot not swapped -> readers see old state."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=2)
+    # simulate: stage data files manually without committing
+    stage = os.path.join(tmp_table_dir, "data", "v00000001", "bucket=0")
+    os.makedirs(stage)
+    spark.createDataFrame([("rX", "pX", 9)], SCHEMA).write.mode("overwrite").parquet(stage)
+    assert t.version == 0
+    assert t.read().count() == 0
