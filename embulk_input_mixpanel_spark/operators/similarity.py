@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a training-data pipeline needs:
+
+- :func:`brute_force_topk` — exact cosine top-k. The dot product is a
+  JVM-side ``zip_with``/``aggregate`` fold (whole-stage codegen, no Python,
+  no UDF). Queries are broadcast; the corpus is scanned once. Scale note:
+  the candidate set is |Q| x |corpus| rows — fine for small query panels,
+  the wrong tool for all-pairs; that's what the LSH tier is for.
+- :func:`lsh_bucket_candidates` — random-hyperplane LSH: deterministic
+  pseudo-random planes derived from a seed, sign-bit signature, band
+  buckets; only intra-bucket pairs are scored. Candidate generation is a
+  shuffle on (band, bucket-key) — linear in corpus size, independent of
+  the pair count, which is the 100 TB-safe path.
+
+Determinism: cosines are rounded to 4 decimals *before* ranking and ties
+break by neighbor id, so results are stable across engines/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "brute_force_topk", "lsh_bucket_candidates"]
+
+
+def _to_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (JVM fold, no UDF)."""
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_r, rnk) — cos rounded to 4dp,
+    rank dense over (cos_r desc, neighbor_id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def lsh_bucket_candidates(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs (id_a < id_b, shared band).
+
+    Planes are deterministic: component w[p][d] = a centered hash of
+    (seed, p, d) — generated as a literal array (tiny: n_planes x dim),
+    broadcast with the plan itself; the signature computation is a pure
+    column fold per plane, all codegen.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+    v = _to_double(vec_col)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(w) for w in planes[p]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    per_band = n_planes // n_bands
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.concat(*bits[b * per_band : (b + 1) * per_band]).alias(f"band_{b}")
+            for b in range(n_bands)
+        ],
+    )
+    pairs = None
+    for b in range(n_bands):
+        left = sig.select(F.col("id").alias("id_a"), F.col(f"band_{b}").alias("bk"))
+        right = sig.select(F.col("id").alias("id_b"), F.col(f"band_{b}").alias("bk"))
+        p = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()

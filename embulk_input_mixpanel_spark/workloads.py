@@ -1,0 +1,533 @@
+"""Operator workloads: paired (Spark DataFrame, DuckDB oracle SQL) queries.
+
+Each entry demonstrates one operator family from SURVEY.md §2 over the
+driver-provided synthetic tables. The Spark side uses the engine's own
+operator implementations where they exist (e.g. ``latest_wins``); the SQL
+side is an independent ANSI formulation DuckDB executes over the same
+parquet — the correctness gate.
+
+Float policy: any value produced by a *reduction* (sum/avg over doubles)
+is computed in DECIMAL (exact, order-independent) and only then cast to
+double, so Spark's partitioned aggregation and DuckDB's serial one agree
+bit-for-bit. Per-row double arithmetic (quality scores, cosine) is
+identical IEEE754 on both engines; cosines are additionally rounded before
+ranking with an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.merge import latest_wins
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC semantics over the `events` stream table
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_filter",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id > 2000 AND event_id <= 7000
+    """,
+)
+def window_filter(spark, sf_dir):
+    """Incremental-bounds predicate (lo < seq <= hi), pushed to the scan.
+
+    (reference: export_service.rb:212-217 — P6)
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_id") > 2000) & (F.col("event_id") <= 7000))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@_q(
+    "pushdown_compound_where",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'view') AND value > 10
+      AND event_id > 1000 AND event_id <= 9000
+    """,
+)
+def pushdown_compound_where(spark, sf_dir):
+    """User `where` + event filter + incremental bounds composed into one
+    predicate (reference: export_service.rb:178-186,212-217 — P4/P5/P6)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("click", "view")
+        & (F.col("value") > 10)
+        & (F.col("event_id") > 1000)
+        & (F.col("event_id") <= 9000)
+    ).select("event_id", "event_type", "value")
+
+
+@_q(
+    "watermark_skip_metrics",
+    """
+    SELECT event_type,
+           count(*) AS n_total,
+           sum(CASE WHEN event_id > 5000 THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN event_id <= 5000 THEN 1 ELSE 0 END) AS n_skipped
+    FROM events GROUP BY event_type
+    """,
+)
+def watermark_skip_metrics(spark, sf_dir):
+    """Row-level HWM skip + skip counters
+    (reference: export_service.rb:102-107,134-136 — P8/A3)."""
+    hwm = 5000
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("event_id") > hwm, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("event_id") <= hwm, 1).otherwise(0)).alias("n_skipped"),
+        )
+    )
+
+
+@_q(
+    "hwm_running_max",
+    """
+    SELECT event_type, max(event_id) AS hwm_seq, max(ts) AS hwm_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def hwm_running_max(spark, sf_dir):
+    """Per-partition high-water mark = running max of sequence/time
+    (reference: export_service.rb:109-112 — A1)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max("event_id").alias("hwm_seq"), F.max("ts").alias("hwm_ts"))
+    )
+
+
+_LATEST_SQL = """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+@_q("latest_wins_per_user", _LATEST_SQL)
+def latest_wins_per_user(spark, sf_dir):
+    """Latest-wins conflict resolution per key, via the engine's
+    partial-aggregating max_by operator (operators/merge.py — A2)."""
+    ev = load(spark, sf_dir, "events")
+    w = latest_wins(ev, ["user_id"], ["ts", "event_id"], tiebreak_col=None)
+    return w.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@_q(
+    "dedup_latest_per_key",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_per_key(spark, sf_dir):
+    """Dedup to one surviving row per composite key (W5 analog)."""
+    ev = load(spark, sf_dir, "events")
+    w = latest_wins(ev, ["user_id", "event_type"], ["ts", "event_id"], tiebreak_col=None)
+    return w.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@_q(
+    "cdc_replay_latest_state",
+    f"""
+    SELECT user_id, last_event_id, last_event_type
+    FROM ({_LATEST_SQL})
+    WHERE last_event_type <> 'error'
+    """,
+)
+def cdc_replay_latest_state(spark, sf_dir):
+    """Merge-and-delete semantics: latest version wins, keys whose winning
+    event is a delete ('error' stands in for op=D) drop out (J3/A2)."""
+    ev = load(spark, sf_dir, "events")
+    w = latest_wins(ev, ["user_id"], ["ts", "event_id"], tiebreak_col=None)
+    return w.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@_q(
+    "flatten_props",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS p_k
+    FROM events
+    """,
+)
+def flatten_props(spark, sf_dir):
+    """Nested-JSON field promotion to a typed column
+    (reference: export_service.rb:245-255 — P2/F8)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("p_k")
+    )
+
+
+@_q(
+    "residual_prop_keys",
+    """
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           len(list_filter(json_keys(props), x -> x <> 'k')) AS n_unknown
+    FROM events
+    """,
+)
+def residual_prop_keys(spark, sf_dir):
+    """Residual key subtraction: properties not covered by the schema
+    (reference: export_service.rb:257-280 — J1/J2)."""
+    pm = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(F.map_keys(pm)).alias("n_keys"),
+        F.size(F.filter(F.map_keys(pm), lambda x: x != F.lit("k"))).alias("n_unknown"),
+    )
+
+
+@_q(
+    "slice_ledger",
+    """
+    SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+           min(event_id) AS lo_seq, max(event_id) AS hi_seq
+    FROM events GROUP BY 1
+    """,
+)
+def slice_ledger(spark, sf_dir):
+    """Tumbling day-window ledger (reference: range_generator.rb:47-61 — W1/L1)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("lo_seq"),
+            F.max("event_id").alias("hi_seq"),
+        )
+    )
+
+
+@_q(
+    "backfill_overlap_dedup",
+    """
+    WITH u AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+      UNION ALL
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    )
+    SELECT event_type, count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct
+    FROM u GROUP BY event_type
+    """,
+)
+def backfill_overlap_dedup(spark, sf_dir):
+    """Backfill re-read of an overlapping window + idempotent dedup
+    (reference: base_service.rb:109-115 — W3/W5)."""
+    ev = load(spark, sf_dir, "events")
+    w1 = ev.filter((F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-15"))
+    w2 = ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20"))
+    return (
+        w1.unionByName(w2)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"), F.count_distinct("event_id").alias("n_distinct"))
+    )
+
+
+_UPPER_SQL = """
+    SELECT event_id, event_type FROM events
+    WHERE event_id <= (SELECT max(event_id) - 1000 FROM events)
+"""
+
+
+@_q("upper_bound_lock", _UPPER_SQL)
+def upper_bound_lock(spark, sf_dir):
+    """In-flight upper bound: exclude the newest tail
+    (reference: export_service.rb:239-243 — P7/W4)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_UPPER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Relational workloads (scan/agg/join breadth + bench headliners)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped scan+aggregate; decimal-exact sums (see float policy)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count("*")).cast("double").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "broadcast_dim_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def broadcast_dim_join(spark, sf_dir):
+    """Fact-to-dimension join with an explicit broadcast hint — the dim is
+    tiny, so no shuffle of the fact side at any scale."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@_q(
+    "topk_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def topk_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-shaped multi-join + top-k with deterministic tiebreak."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops over `documents`
+# ---------------------------------------------------------------------------
+
+_FP = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@_q(
+    "doc_fingerprint",
+    f"SELECT doc_id, {_FP} AS fp FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+    )
+
+
+@_q(
+    "dedup_exact_docs",
+    f"""
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM (SELECT doc_id, {_FP} AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content fingerprint, keep min doc_id."""
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", fp)
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@_q(
+    "token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+@_q(
+    "quality_score",
+    f"""
+    SELECT doc_id, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           round(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS avg_token_len
+    FROM (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x IN {_STOPWORDS})) AS n_stop,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_alpha
+      FROM documents
+    )
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Quality signals: stopword ratio + mean token length (per-row math)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_alpha = F.length(F.regexp_replace("text", r"\s", ""))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
+        F.round(n_alpha.cast("double") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, e.v), 4) AS cos_r
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_r, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_r DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+"""
+
+
+@_q("cosine_topk", _TOPK_SQL)
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: JVM-side zip_with/aggregate
+    dot product (no Python in the hot path), rounded-then-ranked with an
+    id tiebreak for cross-engine determinism."""
+    from .operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(queries, emb, k=5)
+
+
+def flagship_entry(spark: SparkSession) -> DataFrame:
+    """Driver smoke check: full CDC replay at tiny scale -> final state."""
+    import tempfile
+
+    from .runner import open_or_create, replay
+    from .sources.genevents import change_events
+
+    events = change_events(spark, 2000, n_repos=12, paths_per_repo=20, dup_rate=0.1, seed=5)
+    d = tempfile.mkdtemp(prefix="flagship-")
+    table = open_or_create(spark, d, num_buckets=8)
+    replay(table, events, upper_bound=2000, slice_size=700)
+    return table.read().select(
+        "repo", "path", "commit", "commit_seq", "event_seq", "content_sha"
+    )
