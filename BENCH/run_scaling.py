@@ -1,0 +1,124 @@
+"""Two-parallelism scaling evidence for the north-star criterion.
+
+BASELINE.json demands >=0.8 throughput scaling efficiency between N and 4N
+executors. No real cluster exists in this sandbox, so per BASELINE.md the
+protocol is: identical replay job, identical deterministic input, at
+local[4] and local[16] (4x cores), shuffle partitions scaled with cores
+(session.py does this), separate JVM per level. Efficiency =
+(throughput_16 / throughput_4) / 4.
+
+Why 4 vs 16 and not 8 vs 32: this sandbox VM advertises 32 vCPUs but
+process-parallel microbenchmarks (multiprocessing sha256, openssl -multi)
+deliver only ~2.2-3.3x going 8->32 — the host is oversubscribed above
+~16-20 real cores. 4->16 stays inside the machine's honest capacity
+(measured ~3.6x at the OS level), so it evidences the ENGINE's scaling
+rather than the hypervisor's ceiling. Both levels run the identical job.
+
+Each level runs ``trials`` times; the median throughput is reported (local
+JVMs show +/-30% GC/JIT noise on identical work).
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python BENCH/run_scaling.py [n_events] [trials]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_ONE = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from embulk_input_mixpanel_spark.session import get_spark
+from embulk_input_mixpanel_spark.sources.genevents import change_events
+from embulk_input_mixpanel_spark.runner import open_or_create, replay
+
+cores = {cores}
+n = {n_events}
+spark = get_spark("scale", cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+ev = change_events(spark, n, n_repos=max(n // 2000, 100), paths_per_repo=500,
+                   dup_rate=0.1, evolve_after=n // 2,
+                   partitions=cores * 3)
+d = tempfile.mkdtemp(prefix="scale-tbl-")
+tbl = open_or_create(spark, d, num_buckets=64)
+# warm the JVM/codegen on a small prefix so the timed window measures
+# steady-state work, not JIT
+replay(tbl, ev, upper_bound=max(n // 20, 1), slice_size=max(n // 20, 1))
+t0 = time.time()
+rep = replay(tbl, ev, upper_bound=n, slice_size=max(n // 2, 1))
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "rows": rep.rows_in, "seconds": dt,
+                  "events_per_sec": rep.rows_in / dt}}))
+shutil.rmtree(d, ignore_errors=True)
+"""
+
+
+def run_level(cores: int, n_events: int, trials: int) -> dict:
+    rates, rows = [], 0
+    for t in range(trials):
+        code = RUN_ONE.format(repo=REPO, cores=cores, n_events=n_events)
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_MASTER": f"local[{cores}]",
+                 "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")},
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"trial failed at cores={cores}")
+        d = json.loads(line[-1])
+        rates.append(d["events_per_sec"])
+        rows = d["rows"]
+        print(f"  local[{cores}] trial {t}: {d['events_per_sec']:.0f} ev/s "
+              f"({d['seconds']:.1f}s)", file=sys.stderr)
+    return {"cores": cores, "rows": rows, "trials": rates,
+            "median_events_per_sec": statistics.median(rates)}
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    t_start = time.time()
+    lo = run_level(4, n_events, trials)
+    hi = run_level(16, n_events, trials)
+    eff = (hi["median_events_per_sec"] / lo["median_events_per_sec"]) / 4.0
+    result = {
+        "n_events": n_events,
+        "level_A": lo,
+        "level_B": hi,
+        "speedup": round(hi["median_events_per_sec"] / lo["median_events_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "wall_seconds": round(time.time() - t_start, 1),
+    }
+    md = f"""# BENCH/BASELINE — replay throughput & scaling evidence
+
+Protocol (see BASELINE.md): identical CDC replay (generate -> plan ->
+HWM-skip -> latest-wins -> bucket CoW MERGE -> snapshot commit), identical
+deterministic input (seeded generator, {n_events:,} events + 10% dups),
+separate JVM per level, shuffle partitions = 2 x cores, JIT warm-up batch
+excluded from the timed window, median of {trials} trials.
+
+| level | cores | median events/sec | trials (ev/s) |
+|---|---|---|---|
+| A | 4  | {lo['median_events_per_sec']:.0f} | {', '.join(f"{r:.0f}" for r in lo['trials'])} |
+| B | 16 | {hi['median_events_per_sec']:.0f} | {', '.join(f"{r:.0f}" for r in hi['trials'])} |
+
+- speedup B/A = **{result['speedup']}x** (ideal 4x)
+- scaling efficiency = (T_B/T_A)/4 = **{result['scaling_efficiency']}** (target >= 0.8)
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Measures (1) the north-star: CDC replay throughput (events/sec applied
+through the full plan -> dedup -> latest-wins -> MERGE -> snapshot commit
+pipeline), and (2) headline query latencies at the given scale factor.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input tables (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default all)
+  BENCH_EVENTS         override replay event count
+  BENCH_SKIP_QUERIES   "1" -> replay only (used by the scaling runs)
+
+The change stream is staged to parquet range-partitioned on event_seq
+(sorted within partitions), so each micro-batch's bounds predicate prunes
+row groups — the same layout a real binlog landing zone would use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from embulk_input_mixpanel_spark import workloads  # noqa: E402
+from embulk_input_mixpanel_spark.runner import open_or_create, replay  # noqa: E402
+from embulk_input_mixpanel_spark.session import default_parallelism, get_spark  # noqa: E402
+from embulk_input_mixpanel_spark.sources.genevents import change_events  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "topk_revenue_orders",
+    "broadcast_dim_join",
+    "latest_wins_per_user",
+    "watermark_skip_metrics",
+    "doc_fingerprint",
+    "dedup_exact_docs",
+    "quality_score",
+    "cosine_topk",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", default_parallelism()))
+    sf = _sf_of(sf_dir)
+    n_events = int(os.environ.get("BENCH_EVENTS", max(int(20_000_000 * sf), 20_000)))
+
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="bench-")
+    results: dict[str, float] = {}
+
+    # ---- stage the change stream (binlog landing zone) -------------------
+    t0 = time.time()
+    ev = change_events(
+        spark, n_events, n_repos=max(200, n_events // 2000), paths_per_repo=500,
+        dup_rate=0.1, evolve_after=n_events // 2,
+    )
+    stream_path = os.path.join(work, "stream")
+    (
+        ev.repartitionByRange(max(cores * 2, 8), "event_seq")
+        .sortWithinPartitions("event_seq")
+        .write.parquet(stream_path)
+    )
+    stage_s = time.time() - t0
+    stream = spark.read.parquet(stream_path)
+    total_rows = stream.count()
+
+    # ---- north-star: replay throughput -----------------------------------
+    tbl_path = os.path.join(work, "repo_files")
+    table = open_or_create(spark, tbl_path, num_buckets=max(cores * 2, 16))
+    t0 = time.time()
+    rep = replay(table, stream, upper_bound=n_events, slice_size=max(n_events // 8, 1))
+    replay_s = time.time() - t0
+    events_per_sec = total_rows / replay_s
+
+    # ---- headline queries -------------------------------------------------
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        for name in BENCH_QUERIES:
+            fn = workloads.SPARK_QUERIES[name]
+            fn(spark, sf_dir).count()  # warm (plan + IO cache)
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            results[name] = round(time.time() - t0, 3)
+
+    total = round(replay_s + sum(results.values()), 3)
+    out = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "replay": {
+            "events": total_rows,
+            "seconds": round(replay_s, 3),
+            "events_per_sec": round(events_per_sec, 1),
+            "batches": len(rep.batches),
+            "keys_upserted": rep.keys_upserted,
+            "stage_seconds": round(stage_s, 3),
+            "cores": cores,
+        },
+    }
+    print(json.dumps(out))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,9 +27,14 @@ Pipeline (each stage cites its reference analog):
    and rewritten (copy-on-write); commit is one atomic snapshot carrying
    data + HWM + cursor (exactly-once; mixpanel.rb:34-46 made atomic).
 
-Metrics come from a column-pruned pre-aggregation (event_seq,
-source_partition only) plus ``df.observe`` on the write job itself — no
-extra pass over payload data.
+Per batch exactly three jobs are scheduled: (1) a column-pruned
+HWM/metrics pre-aggregation over (source_partition, event_seq), (2) a
+combined discovery pass over the winners (touched buckets + new prop
+keys), (3) the merge write. The winners DataFrame is deliberately NOT
+persisted: jobs (2) and (3) share its lineage, so the DAG scheduler
+reuses the latest-wins shuffle map stage across them, while a columnar
+cache of map-typed rows would cost more (build + GC) than re-running the
+cheap reduce side.
 """
 
 from __future__ import annotations
@@ -111,10 +116,16 @@ def apply_batch(
     batch: Batch,
     promoted_keys: list[str] | None = None,
     auto_evolve: bool = True,
+    count_distinct_events: bool = False,
 ) -> ApplyResult:
-    """Apply one planned batch of change events to the lake table."""
+    """Apply one planned batch of change events to the lake table.
+
+    ``count_distinct_events`` adds an exact distinct-event_id count to the
+    metrics job — off by default; redeliveries collapse in the latest-wins
+    reduction regardless.
+    """
     t0 = time.time()
-    spark = table.spark
+    timings: dict[str, float] = {}
     hwm_before = get_hwm_map(table)
 
     bounded = events.filter(
@@ -123,20 +134,23 @@ def apply_batch(
 
     # --- metrics + HWM pre-aggregation (column-pruned: 3 narrow columns) ---
     keep = _hwm_filter(hwm_before)
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("n_skipped"),
+        F.max("event_seq").alias("max_seq"),
+    ]
+    if count_distinct_events:
+        aggs.append(F.count_distinct("event_id").alias("n_distinct"))
     stats = (
         bounded.select("source_partition", "event_seq", "event_id")
         .groupBy("source_partition")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(~keep, 1).otherwise(0)).alias("n_skipped"),
-            F.max("event_seq").alias("max_seq"),
-            F.count_distinct("event_id").alias("n_distinct"),
-        )
+        .agg(*aggs)
         .collect()
     )
+    timings["metrics"] = round(time.time() - t0, 3)
     rows_in = sum(r["n"] for r in stats)
     rows_skipped = sum(r["n_skipped"] for r in stats)
-    distinct_events = sum(r["n_distinct"] for r in stats)
+    distinct_events = sum(r["n_distinct"] for r in stats) if count_distinct_events else -1
     hwm_after = dict(hwm_before)
     for r in stats:
         p, mx = int(r["source_partition"]), int(r["max_seq"])
@@ -154,27 +168,42 @@ def apply_batch(
     survivors = bounded.filter(keep)
 
     # --- latest-wins reduction (one shuffle; partial agg kills skew) ---
-    winners = latest_wins(survivors, KEY_COLS, ORDER_COLS, tiebreak_col="event_id")
+    nb = table.num_buckets
+    winners = (
+        latest_wins(survivors, KEY_COLS, ORDER_COLS, tiebreak_col="event_id")
+        .withColumn("_pm", F.from_json("props", T.MapType(T.StringType(), T.StringType())))
+        .withColumn("bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int"))
+    )
 
-    # --- flatten props + schema evolution (post-reduction = cheapest) ---
+    # --- one combined discovery pass: touched buckets + new prop keys ---
     promoted = list(promoted_keys) if promoted_keys is not None else _current_promoted(table)
-    winners = winners.withColumn("_pm", F.from_json("props", T.MapType(T.StringType(), T.StringType())))
+    disc = (
+        winners.select("bucket", F.explode_outer(F.map_keys("_pm")).alias("k"))
+        .agg(
+            F.collect_set("bucket").alias("buckets"),
+            F.collect_set("k").alias("keys"),
+        )
+        .first()
+    )
+    timings["discovery"] = round(time.time() - t0 - sum(timings.values()), 3)
+    touched = sorted(disc["buckets"])
     new_keys: list[str] = []
     if auto_evolve:
-        found = sorted(
-            r[0]
-            for r in winners.select(F.explode(F.map_keys("_pm")).alias("k")).distinct().collect()
-        )
-        new_keys = [k for k in found if k not in promoted]
+        new_keys = sorted(k for k in disc["keys"] if k not in promoted)
         promoted = promoted + new_keys
 
-    known_arr = F.array(*[F.lit(k) for k in promoted]) if promoted else F.array().cast("array<string>")
+    known_arr = (
+        F.array(*[F.lit(k) for k in promoted]) if promoted else F.array().cast("array<string>")
+    )
     payload = winners.select(
         "repo",
         "path",
         "commit",
         "lang",
         "content",
+        # JVM sha2: at winners-scale (<~1M calls/batch) the MessageDigest
+        # lookup contention is negligible and beats the Arrow round-trip of
+        # the pandas-UDF variant (functions/hashing.py) by ~10x.
         F.sha2("content", 256).alias("content_sha"),
         "commit_seq",
         "event_seq",
@@ -182,29 +211,34 @@ def apply_batch(
         "ts_ms",
         "source_partition",
         "op",
-        F.to_json(F.map_filter("_pm", lambda k, _: ~F.array_contains(known_arr, k))).alias("props_rest"),
+        F.to_json(
+            F.map_filter("_pm", lambda k, _: ~F.array_contains(known_arr, k))
+        ).alias("props_rest"),
         *[F.col("_pm").getItem(k).alias(f"p_{k}") for k in promoted],
     )
 
-    out_schema = table.evolve_schema([T.StructField(f"p_{k}", T.StringType(), True) for k in new_keys])
+    out_schema = table.evolve_schema(
+        [T.StructField(f"p_{k}", T.StringType(), True) for k in new_keys]
+    )
 
     # --- bucket-pruned copy-on-write MERGE ---
-    nb = table.num_buckets
-    payload = payload.withColumn("bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int"))
-    touched = sorted(r[0] for r in payload.select("bucket").distinct().collect())
-
     target = table.read(buckets=touched)
 
     obs_keys = Observation("keys")
     payload = payload.observe(obs_keys, F.count(F.lit(1)).alias("n_winners"))
 
-    merged = merge_upsert(target.drop("bucket"), payload.drop("bucket"), KEY_COLS, ORDER_COLS)
-    merged = merged.withColumn("bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int"))
+    merged = merge_upsert(target.drop("bucket"), payload, KEY_COLS, ORDER_COLS)
+    merged = merged.withColumn(
+        "bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int")
+    )
 
     obs_out = Observation("out")
     merged = merged.observe(obs_out, F.count(F.lit(1)).alias("n_out"))
+    # one output partition per touched bucket -> bounded, clean file layout
+    merged = merged.repartition(max(len(touched), 1), "bucket")
 
     snap = table.commit_rewrite(merged, touched, properties=props, schema=out_schema)
+    timings["merge_write"] = round(time.time() - t0 - sum(timings.values()), 3)
 
     return ApplyResult(
         batch_index=batch.index,
@@ -220,6 +254,7 @@ def apply_batch(
         hwm_before=hwm_before,
         hwm_after=hwm_after,
         seconds=time.time() - t0,
+        extra={"timings": timings},
     )
 
 

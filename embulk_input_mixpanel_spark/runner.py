@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from .operators.apply import ApplyResult, apply_batch, base_table_schema
 from .plans.checkpoint import get_cursor
+from .plans.metrics import record_lineage
 from .plans.windows import BatchPlanner, ConfigError
 from .functions.retry import with_retry
 from .sources.lake import LakeTable
@@ -72,6 +73,8 @@ def replay(
     retry_wait: float = 0.1,
     fail_injector=None,
     max_batches: int | None = None,
+    run_id: str = "",
+    lineage: bool = True,
 ) -> ReplayReport:
     """Apply all events with ``cursor < event_seq <= upper_bound``.
 
@@ -105,6 +108,8 @@ def replay(
             batch.index, batch.lo, batch.hi, res.rows_in, res.rows_skipped_hwm,
             res.keys_upserted, res.version, res.seconds,
         )
+        if lineage:
+            record_lineage(table.path, res, run_id=run_id)
         report.batches.append(res)
     return report
 

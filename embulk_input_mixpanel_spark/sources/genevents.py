@@ -49,6 +49,17 @@ def _h(seed: int, tag: str, *cols) -> F.Column:
     return F.xxhash64(F.lit(seed), F.lit(tag), *cols)
 
 
+def _hex(seed: int, tag: str, *cols) -> F.Column:
+    """Deterministic 16-char hex token.
+
+    Built from xxhash64 (lock-free, codegen) rather than md5: Spark's
+    crypto-hash expressions funnel through MessageDigest provider lookup,
+    which serializes at high thread counts (measured 6x slowdown at
+    local[32] on this box); xxhash64 scales linearly.
+    """
+    return F.lpad(F.conv(F.abs(_h(seed, tag, *cols)).cast("string"), 10, 16), 16, "0")
+
+
 def change_events(
     spark: SparkSession,
     n_events: int,
@@ -90,7 +101,7 @@ def change_events(
     commit_seq = F.floor(F.col("event_seq") / commits_per_tie)
 
     df = df.select(
-        F.md5(F.concat(F.lit(f"ev-{seed}-"), F.col("event_seq"))).alias("event_id"),
+        F.concat(_hex(seed, "eid-a", F.col("event_seq")), _hex(seed, "eid-b", F.col("event_seq"))).alias("event_id"),
         F.col("event_seq"),
         (F.lit(ts_base_ms) + F.col("event_seq") * 1000
          + F.pmod(_h(seed, "jit", F.col("event_seq")), F.lit(1000))).alias("ts_ms"),
@@ -119,7 +130,7 @@ def change_events(
             F.col("_path_idx"),
             F.lit(".txt"),
         ).alias("path"),
-        F.substring(F.md5(F.concat(F.lit(f"commit-{seed}-"), F.col("commit_seq"))), 1, 12).alias("commit"),
+        F.substring(_hex(seed, "commit", F.col("commit_seq")), 1, 12).alias("commit"),
         "commit_seq",
         F.element_at(
             F.array(*[F.lit(l) for l in _LANGS]),
@@ -135,7 +146,7 @@ def change_events(
             F.lit("@"),
             F.col("commit_seq"),
             F.lit("\n"),
-            F.repeat(F.md5(F.concat(F.lit(f"body-{seed}-"), F.col("event_seq"))), 3),
+            F.repeat(F.concat(_hex(seed, "body-a", F.col("event_seq")), _hex(seed, "body-b", F.col("event_seq"))), 3),
         ).alias("content"),
         _props_expr(seed, evolve_after).alias("props"),
     )

@@ -531,3 +531,185 @@ def flagship_entry(spark: SparkSession) -> DataFrame:
     return table.read().select(
         "repo", "path", "commit", "commit_seq", "event_seq", "content_sha"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup detection + text analysis (operators/dedup.py, operators/text.py)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = r"""
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tok) - 2, 0)),
+               i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+            FROM documents)
+"""
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (operators/dedup.py)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+_MINHASH_K = 8
+_MH_COLS_SQL = ",\n           ".join(
+    f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS mh_{i}" for i in range(_MINHASH_K)
+)
+
+
+@_q(
+    "minhash_signatures",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT id, {_MH_COLS_SQL}
+    FROM sh GROUP BY id
+    """,
+)
+def minhash_signatures_q(spark, sf_dir):
+    """MinHash signatures, k=8, one groupBy pass (operators/dedup.py)."""
+    from .operators.dedup import minhash_signatures
+
+    return minhash_signatures(load(spark, sf_dir, "documents"), k=_MINHASH_K, n=3)
+
+
+@_q(
+    "minhash_lsh_candidates",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (SELECT id, {_MH_COLS_SQL} FROM sh GROUP BY id),
+    b0 AS (SELECT id, md5(concat_ws('|', mh_0, mh_1)) AS bk FROM sig),
+    b1 AS (SELECT id, md5(concat_ws('|', mh_2, mh_3)) AS bk FROM sig),
+    b2 AS (SELECT id, md5(concat_ws('|', mh_4, mh_5)) AS bk FROM sig),
+    b3 AS (SELECT id, md5(concat_ws('|', mh_6, mh_7)) AS bk FROM sig),
+    pairs AS (
+      SELECT x.id AS id_a, y.id AS id_b FROM b0 x JOIN b0 y ON x.bk = y.bk AND x.id < y.id
+      UNION ALL
+      SELECT x.id, y.id FROM b1 x JOIN b1 y ON x.bk = y.bk AND x.id < y.id
+      UNION ALL
+      SELECT x.id, y.id FROM b2 x JOIN b2 y ON x.bk = y.bk AND x.id < y.id
+      UNION ALL
+      SELECT x.id, y.id FROM b3 x JOIN b3 y ON x.bk = y.bk AND x.id < y.id
+    )
+    SELECT DISTINCT id_a, id_b FROM pairs
+    """,
+)
+def minhash_lsh_candidates_q(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs (operators/dedup.py)."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(load(spark, sf_dir, "documents"), k=_MINHASH_K, n=3)
+    return lsh_candidate_pairs(sig, k=_MINHASH_K, n_bands=4)
+
+
+@_q("simhash_neardups", None)  # xxhash64 has no DuckDB twin -> rows-only check
+def simhash_neardups_q(spark, sf_dir):
+    """SimHash near-dup pairs (operators/dedup.py); semantic tests live in
+    tests/test_dedup.py (identical docs -> hamming 0)."""
+    from .operators.dedup import simhash, simhash_pairs
+
+    sig = simhash(load(spark, sf_dir, "documents"), bits=16)
+    return simhash_pairs(sig, max_hamming=1)
+
+
+_LANGS_SQL_SCORE = {
+    "en": "('the','a','and','of','to','is')",
+    "es": "('el','la','de','y','que','los')",
+    "fr": "('le','la','et','les','des','un')",
+    "de": "('der','die','und','das','ein','zu')",
+}
+_LANG_SCORE_COLS = ",\n           ".join(
+    f"len(list_filter(tok, x -> x IN {words})) AS s_{lang}"
+    for lang, words in _LANGS_SQL_SCORE.items()
+)
+
+
+@_q(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id, s_en, s_es, s_fr, s_de,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+             WHEN s_fr >= s_de THEN 'fr'
+             ELSE 'de'
+           END AS pred_lang
+    FROM (
+      SELECT doc_id, {_LANG_SCORE_COLS}
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+            FROM documents)
+    )
+    """,
+)
+def lang_id_q(spark, sf_dir):
+    """Marker-vote language ID (operators/text.py)."""
+    from .operators.text import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "quality_features",
+    r"""
+    SELECT doc_id,
+           n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           round(CAST(n_alpha AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           round(CAST(n_punct AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
+    FROM (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x IN ('the','a','and','of','to'))) AS n_stop,
+             length(regexp_replace(text, '\s', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    """,
+)
+def quality_features_q(spark, sf_dir):
+    """Full quality-signal set (operators/text.py)."""
+    from .operators.text import quality_features
+
+    return quality_features(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "rolling_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> (length(x) * 7 + coalesce(ascii(substr(x, 1, 1)), 0))::BIGINT)),
+             (a, b) -> (a * 31 + b) % 2147483647
+           ) AS fp
+    FROM documents
+    """,
+)
+def rolling_fingerprint_q(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint (operators/text.py)."""
+    from .operators.text import rolling_fingerprint
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", rolling_fingerprint("text").alias("fp")
+    )
