@@ -51,3 +51,13 @@ def sha256_hex(col: str | Column) -> Column:
 def sha256_hex_jvm(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.sha2(c, 256)
+
+
+def content_sha(col: str | Column) -> Column:
+    """The engine's content-hash column, implementation switchable via
+    SPARK_GRAFT_SHA=jvm|pandas (default jvm). Both yield identical hex."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SHA", "jvm") == "pandas":
+        return sha256_hex(col)
+    return sha256_hex_jvm(col)

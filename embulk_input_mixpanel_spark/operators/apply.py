@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.hashing import content_sha
 from ..plans.checkpoint import checkpoint_properties, get_hwm_map
 from ..plans.windows import Batch
 from ..sources.lake import LakeTable
@@ -201,10 +202,11 @@ def apply_batch(
         "commit",
         "lang",
         "content",
-        # JVM sha2: at winners-scale (<~1M calls/batch) the MessageDigest
-        # lookup contention is negligible and beats the Arrow round-trip of
-        # the pandas-UDF variant (functions/hashing.py) by ~10x.
-        F.sha2("content", 256).alias("content_sha"),
+        # JVM sha2 by default; SPARK_GRAFT_SHA=pandas switches to the
+        # Arrow pandas-UDF variant (functions/hashing.py) whose process
+        # workers dodge the MessageDigest lookup contention that bites the
+        # JVM expression at high thread counts x tens of millions of calls.
+        content_sha("content").alias("content_sha"),
         "commit_seq",
         "event_seq",
         "event_id",

@@ -9,7 +9,7 @@ lib/embulk/input/service/export_service.rb:128-133).
 
 Spark-side the same contract is: read JSONL PERMISSIVE with a corrupt-
 record column; corrupt rows (truncated tail, malformed lines) are counted
-in the same pass as the scan (observe — no extra job); ``allow_partial``
+via a cheap line-count pass vs parsed-count; ``allow_partial``
 False converts any corrupt row into :class:`IncompleteStreamError` BEFORE
 anything is committed (snapshot atomicity = nothing partial ever
 visible; the reference instead tracks per-slice row buffers).
@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -73,32 +73,23 @@ def read_jsonl_events(
     ``limit`` is the guess/preview path (LocalLimit pushdown — the
     ``limit=10`` API param analog).
     """
-    schema = T.StructType(list(EVENT_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType())])
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(path)
-    )
+    df = spark.read.schema(EVENT_SCHEMA).option("mode", "PERMISSIVE").json(path)
     if limit is not None:
         df = df.limit(limit)
 
-    obs = Observation("jsonl")
-    df = df.observe(
-        obs,
-        F.count(F.lit(1)).alias("total"),
-        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).alias("corrupt"),
-    )
-    clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-    # one action to materialize counts; the clean scan itself stays lazy
-    # for the caller (the count runs on the same cached file listing)
-    total = df.count()
-    corrupt = int(obs.get["corrupt"] or 0)
+    # PERMISSIVE turns a malformed/truncated line into an all-null row;
+    # event_id is required, so null event_id == corrupt record. Attempted
+    # records = physical lines (a truncated trailing record is still one
+    # line — same accounting as the reference's leftover `buf`).
+    clean = df.filter(F.col("event_id").isNotNull())
+    total = spark.read.text(path).count() if limit is None else df.count()
+    parsed = clean.count()
+    corrupt = total - parsed
     if corrupt and not allow_partial:
         raise IncompleteStreamError(
             f"{corrupt}/{total} records corrupt/truncated and allow_partial=False"
         )
-    return JsonlScan(df=clean, corrupt_count=corrupt, total_count=total - corrupt)
+    return JsonlScan(df=clean, corrupt_count=corrupt, total_count=parsed)
 
 
 def probe_nonempty_window(

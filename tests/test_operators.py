@@ -1,0 +1,128 @@
+"""Dedup / text / similarity / multimodal operator semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_input_mixpanel_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from embulk_input_mixpanel_spark.operators.multimodal import (
+    extract_features_stub,
+    synth_media,
+)
+from embulk_input_mixpanel_spark.operators.similarity import brute_force_topk, lsh_bucket_candidates
+from embulk_input_mixpanel_spark.operators.text import lang_id, quality_features, rolling_fingerprint
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "el rapido zorro marron salta sobre el perro"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (5, "completely different words entirely here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact_groups(spark, docs):
+    out = {r["keeper"]: r["n_docs"] for r in dedup_exact(docs).collect()}
+    assert out[1] == 2  # docs 1+4 collapse, keeper = min id
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+
+
+def test_shingles_count(spark, docs):
+    sh = shingles(docs, n=3).filter(F.col("id") == 1).collect()
+    assert len(sh) == 7  # 9 tokens -> 7 trigrams (all distinct here)
+
+
+def test_jaccard_finds_neardup_pair(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_recovers_duplicates(spark, docs):
+    sig = minhash_signatures(docs, k=8, n=3)
+    rows = {r["id"]: [r[f"mh_{i}"] for i in range(8)] for r in sig.collect()}
+    assert rows[1] == rows[4]  # identical docs -> identical signatures
+    cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, k=8, n_bands=4).collect()}
+    assert (1, 4) in cands
+
+
+def test_simhash_identical_zero_hamming(spark, docs):
+    sig = simhash(docs, bits=16)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(sig, max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+    s = {r["id"]: r["simhash"] for r in sig.collect()}
+    assert s[1] != s[5]  # unrelated docs differ
+
+
+def test_lang_id_votes(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[3] == "es"
+
+
+def test_quality_features_ranges(spark, docs):
+    for r in quality_features(docs).collect():
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]  # same tokens, different order
+
+
+def test_brute_force_topk_ranks(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = brute_force_topk(df.filter(F.col("vec_id") == 0), df, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert order[0] == 1 and order[-1] == 3
+
+
+def test_lsh_ann_buckets_similar_vectors(spark):
+    vecs = [(i, [1.0 + 0.001 * i, 2.0, -1.0, 0.5]) for i in range(5)]
+    vecs += [(100 + i, [-1.0, -2.0, 1.0 - 0.001 * i, -0.5]) for i in range(5)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_bucket_candidates(df, dim=4, n_planes=8, n_bands=4).collect()}
+    assert (0, 1) in pairs            # near-identical vectors share buckets
+    assert (0, 100) not in pairs      # opposite vectors don't
+
+
+def test_multimodal_stub_plumbing(spark):
+    media = synth_media(spark, 50, payload_bytes=1024)
+    feats = extract_features_stub(media, feature_dim=4)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 4 for r in rows)
+    assert all(r["n_bytes"] == 1024 for r in rows)
+    # deterministic: same input -> same features
+    again = {r["media_id"]: r["feature"] for r in extract_features_stub(media, feature_dim=4).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
