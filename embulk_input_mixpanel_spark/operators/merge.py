@@ -74,6 +74,7 @@ def merge_upsert(
     order_cols: list[str],
     op_col: str = "op",
     tiebreak_col: str = "event_id",
+    tombstones: bool = True,
 ) -> DataFrame:
     """MERGE INTO target USING source ON key — latest-wins, delete-aware.
 
@@ -83,10 +84,20 @@ def merge_upsert(
     with a lower ``commit_seq`` than the stored row must lose even if it
     arrives in a later batch).
 
-    Implemented as union + max_by aggregation (see module docstring for why
-    this beats a join at skewed keys), with a source-priority flag so a
-    byte-identical redelivery of the stored row resolves deterministically.
-    Output: the complete new contents for the covered key space.
+    ``tombstones=True`` (default) RETAINS a key whose winning version is a
+    delete, as an ``op='D'`` row. This is load-bearing for out-of-order
+    streams: dropping the delete would erase the memory that the key died
+    at (commit_seq, event_seq), so a staler update arriving in a LATER
+    batch would resurrect it. Reads exclude tombstones
+    (LakeTable.read); vacuum_tombstones GCs them once the stream cursor
+    passes the lateness horizon. ``tombstones=False`` drops delete winners
+    immediately — only safe when no later batch can carry an older version
+    of the key.
+
+    Implemented as union + max-of-struct aggregation (see module docstring
+    for why this beats a join at skewed keys), with a source-priority flag
+    so a byte-identical redelivery of the stored row resolves
+    deterministically. Output: complete new contents for the covered keys.
     """
     t = target.withColumn("_src", F.lit(0))
     if op_col not in t.columns:
@@ -97,7 +108,9 @@ def merge_upsert(
     merged = latest_wins(
         t.unionByName(s, allowMissingColumns=True), key_cols, order, tiebreak_col=None
     )
-    return merged.filter(F.col(op_col) != F.lit("D")).drop("_src")
+    if not tombstones:
+        merged = merged.filter(F.col(op_col) != F.lit("D"))
+    return merged.drop("_src")
 
 
 def salted_counts(df: DataFrame, key_cols: list[str], sample_fraction: float = 0.01) -> DataFrame:

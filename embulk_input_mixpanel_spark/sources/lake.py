@@ -193,6 +193,7 @@ class LakeTable:
         self,
         version: int | None = None,
         buckets: list[int] | None = None,
+        include_tombstones: bool = False,
     ) -> DataFrame:
         """Scan the table at a snapshot, optionally pruned to buckets.
 
@@ -201,6 +202,10 @@ class LakeTable:
         pruning; keeps MERGE cost proportional to the batch).
         Current-snapshot schema is applied to all files -> columns added by
         later schema evolution read as NULL from older files.
+
+        Delete tombstones (op='D') are hidden unless
+        ``include_tombstones`` — the merge path reads them to keep
+        out-of-order deletes effective across batches.
         """
         snap = self.snapshot(version)
         if buckets is None:
@@ -210,9 +215,13 @@ class LakeTable:
             files = [f for b, fl in snap.files.items() if b in want for f in fl]
         schema = snap.schema
         if not files:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f) for f in files]
-        return self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, f) for f in files]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if not include_tombstones and "op" in df.columns:
+            df = df.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        return df
 
     def bucket_expr(self, *key_cols: str) -> Column:
         return bucket_of(self.num_buckets, *key_cols)
@@ -239,11 +248,14 @@ class LakeTable:
         stage_abs = os.path.join(self.path, stage_rel)
 
         out_schema = schema or prev.schema
-        out_cols = [f.name for f in out_schema.fields]
+        # cast to the declared schema: callers may carry wider inferred
+        # types (e.g. python-int long vs table int) and parquet readers
+        # reject type drift between files
+        out_cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in out_schema.fields]
         # partitionBy(bucket) gives deterministic bucket->files discovery;
         # one directory per touched bucket, written in parallel.
         (
-            df.select("bucket", *[F.col(c) for c in out_cols])
+            df.select("bucket", *out_cols)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(stage_abs)

@@ -63,7 +63,9 @@ def stream_replay(
             return
         cursor = get_cursor(table)
         batch = Batch(index=int(epoch_id), lo=min(bounds["lo"] - 1, cursor), hi=int(bounds["hi"]))
-        apply_batch(table, batch_df, batch)
+        # hwm_skip off: file tails deliver in arbitrary seq order; the
+        # latest-wins merge alone guarantees idempotence/correctness
+        apply_batch(table, batch_df, batch, observe_metrics=False, hwm_skip=False)
 
     (
         stream.writeStream.foreachBatch(_apply)

@@ -59,11 +59,35 @@ def test_merge_upsert_insert_update_delete(spark):
             ("r", "c", "I", 2, 5, "e5", "ins"),   # insert
         ],
     )
-    out = {
+    merged = merge_upsert(target, source, ["repo", "path"], ["commit_seq", "event_seq"])
+    live = {
         (r["repo"], r["path"]): r["content"]
-        for r in merge_upsert(target, source, ["repo", "path"], ["commit_seq", "event_seq"]).collect()
+        for r in merged.filter("op <> 'D'").collect()
     }
-    assert out == {("r", "a"): "new", ("r", "c"): "ins"}
+    assert live == {("r", "a"): "new", ("r", "c"): "ins"}
+    # the deleted key remains as a tombstone carrying its delete order
+    tomb = merged.filter("op = 'D'").collect()
+    assert len(tomb) == 1 and (tomb[0]["repo"], tomb[0]["path"]) == ("r", "b")
+    assert tomb[0]["commit_seq"] == 2
+
+
+def test_merge_tombstone_blocks_stale_resurrection(spark):
+    """Out-of-order across batches: delete applied in batch k, older update
+    arrives in batch k+1 — the tombstone must keep the key dead."""
+    target = _df(spark, [("r", "x", "D", 5, 50, "e9", "")])  # tombstone in table
+    stale = _df(spark, [("r", "x", "U", 3, 60, "e7", "zombie")])
+    merged = merge_upsert(target, stale, ["repo", "path"], ["commit_seq", "event_seq"])
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0]["op"] == "D"  # still dead
+
+
+def test_merge_no_tombstones_mode_drops_deletes(spark):
+    target = _df(spark, [("r", "a", "U", 1, 1, "e1", "old")])
+    source = _df(spark, [("r", "a", "D", 2, 2, "e2", "")])
+    out = merge_upsert(
+        target, source, ["repo", "path"], ["commit_seq", "event_seq"], tombstones=False
+    ).collect()
+    assert out == []
 
 
 def test_merge_out_of_order_event_loses_to_stored_row(spark):
@@ -78,7 +102,7 @@ def test_merge_stale_delete_ignored(spark):
     target = _df(spark, [("r", "a", "U", 5, 50, "e9", "current")])
     stale_del = _df(spark, [("r", "a", "D", 2, 60, "e7", "")])
     out = merge_upsert(target, stale_del, ["repo", "path"], ["commit_seq", "event_seq"]).collect()
-    assert len(out) == 1 and out[0]["content"] == "current"
+    assert len(out) == 1 and out[0]["content"] == "current" and out[0]["op"] != "D"
 
 
 def test_merge_idempotent_redelivery_of_stored_row(spark):

@@ -136,3 +136,17 @@ def test_deletes_remove_rows(spark, tmp_table_dir, events):
     assert keys == set(oracle)
     n_deleted = events.select("repo", "path").distinct().count() - len(oracle)
     assert n_deleted > 0  # the generator actually produced winning deletes
+
+
+def test_tombstones_hidden_and_vacuumed(spark, tmp_table_dir, events):
+    from embulk_input_mixpanel_spark.operators.maintenance import vacuum_tombstones
+
+    t = open_or_create(spark, tmp_table_dir, num_buckets=8)
+    replay(t, events, upper_bound=N, slice_size=N)
+    n_tomb = t.read(include_tombstones=True).filter("op = 'D'").count()
+    assert n_tomb > 0  # deletes are retained as tombstones
+    visible_before = engine_final_state(t.read())
+    v = vacuum_tombstones(t, horizon=0)
+    assert v > 0
+    assert t.read(include_tombstones=True).filter("op = 'D'").count() == 0
+    assert engine_final_state(t.read()) == visible_before  # vacuum is invisible
