@@ -713,3 +713,62 @@ def rolling_fingerprint_q(spark, sf_dir):
     return load(spark, sf_dir, "documents").select(
         "doc_id", rolling_fingerprint("text").alias("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Query pushdown (JQL analog) + epoch/time normalization
+# ---------------------------------------------------------------------------
+
+@_q(
+    "sql_pushdown_param",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE value > 50 AND event_id <= 8000
+    GROUP BY event_type
+    """,
+)
+def sql_pushdown_param(spark, sf_dir):
+    """User script + bound params (JQL analog, S5/UDF surface;
+    sources/sqlquery.py — injection-safe named args)."""
+    from .sources.sqlquery import run_pushdown_query
+
+    return run_pushdown_query(
+        spark,
+        """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE value > :min_value AND event_id <= :hi
+        GROUP BY event_type
+        """,
+        params={"min_value": 50, "hi": 8000},
+        tables={"events": load(spark, sf_dir, "events")},
+    )
+
+
+@_q(
+    "epoch_normalize",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS unix_ms,
+           CAST(hour(ts) AS INT) AS hour_utc,
+           strftime(ts, '%Y-%m-%d') AS day_utc
+    FROM events
+    """,
+)
+def epoch_normalize(spark, sf_dir):
+    """Epoch/timezone normalization family (F1/F3/F6 analogs; session is
+    pinned UTC so both engines agree on wall-clock decomposition)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("unix_s"),
+        (F.unix_timestamp("ts") * 1000).alias("unix_ms"),
+        F.hour("ts").cast("int").alias("hour_utc"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_utc"),
+    )

@@ -157,3 +157,35 @@ def test_guess_schema_from_sample(spark):
     schema = guess_schema(ev, sample=10)
     names = {f.name for f in schema.fields}
     assert {"repo", "path", "content_sha", "p_size", "p_mode", "p_branch"} <= names
+
+
+def test_sql_pushdown_param_binding(spark):
+    """(reference: param injection jql_service.rb:192-197 — S5)"""
+    from embulk_input_mixpanel_spark.sources.sqlquery import run_pushdown_query
+
+    ev = change_events(spark, 100, n_repos=3, paths_per_repo=3)
+    out = run_pushdown_query(
+        spark,
+        "SELECT op, count(*) AS n FROM ch WHERE event_seq <= :hi GROUP BY op",
+        params={"hi": 49},
+        tables={"ch": ev},
+    )
+    assert sum(r["n"] for r in out.collect()) == ev.filter("event_seq <= 49").count()
+
+
+def test_sql_pushdown_empty_script_rejected(spark):
+    """(reference: jql_service.rb:259-264)"""
+    from embulk_input_mixpanel_spark.plans.windows import ConfigError
+    from embulk_input_mixpanel_spark.sources.sqlquery import run_pushdown_query
+
+    with pytest.raises(ConfigError):
+        run_pushdown_query(spark, "   ")
+
+
+def test_source_available_ping(spark, tmp_path):
+    from embulk_input_mixpanel_spark.sources.sqlquery import source_available
+
+    p = str(tmp_path / "ping")
+    spark.range(3).write.parquet(p)
+    assert source_available(spark, p, retries=0)
+    assert not source_available(spark, str(tmp_path / "nope"), retries=1, wait=0.05)

@@ -1,0 +1,51 @@
+"""Dump formatted physical plans for the headline queries -> BENCH/PLANS.md.
+
+Reviewable evidence that pushdown / pruning / broadcast / partial
+aggregation land where the architecture claims they do.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from embulk_input_mixpanel_spark import workloads
+from embulk_input_mixpanel_spark.session import get_spark
+
+AUDIT = [
+    "window_filter",
+    "pushdown_compound_where",
+    "latest_wins_per_user",
+    "cdc_replay_latest_state",
+    "q1_pricing_summary",
+    "broadcast_dim_join",
+    "topk_revenue_orders",
+    "minhash_signatures",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit", cores=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = ["# Physical plans (explain formatted) — audit artifacts\n"]
+    for name in AUDIT:
+        df = workloads.SPARK_QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH", "PLANS.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out))
+    print(path)
+
+
+if __name__ == "__main__":
+    main()
