@@ -64,7 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.events_parquet:
         events = spark.read.parquet(args.events_parquet)
     elif args.events_jsonl:
-        events = read_jsonl_events(spark, args.events_jsonl, allow_partial=args.allow_partial).df
+        from embulk_input_mixpanel_spark.sources.jsonl import IncompleteStreamError
+
+        try:
+            events = read_jsonl_events(
+                spark, args.events_jsonl, allow_partial=args.allow_partial
+            ).df
+        except IncompleteStreamError as exc:
+            print(f"input error: {exc} (pass --allow-partial to keep good rows)",
+                  file=sys.stderr)
+            return 3
     else:
         events = change_events(spark, args.gen_events)
 

@@ -137,18 +137,37 @@ def preview(
 def guess_schema(events: DataFrame, sample: int = 10) -> T.StructType:
     """Schema inference from a bounded sample — the ``guess`` analog.
 
-    The reference samples 10 records and runs SchemaGuess
-    (export_service.rb:188-203; client.rb:15). Spark's JSON reader performs
-    the same per-field type widening; we infer over the sampled ``props``
-    JSON and return the full flattened schema.
+    The reference samples 10 records and runs SchemaGuess with per-field
+    type widening (export_service.rb:188-203; client.rb:15). Same here:
+    a LocalLimit-pushed sample, then driver-side widening over the parsed
+    ``props`` JSON (bool < long < double < string) — no RDDs, no full scan.
     """
-    spark = events.sparkSession
+    import json as _json
+
     rows = events.select("props").limit(sample).collect()
-    rdd_free = spark.createDataFrame([(r[0],) for r in rows], ["props"])
-    inferred = spark.read.json(rdd_free.select("props").rdd.map(lambda r: r[0]))
+    widened: dict[str, type] = {}
+    _rank = {bool: 0, int: 1, float: 2, str: 3}
+
+    def _widen(a: type, b: type) -> type:
+        if a is b:
+            return a
+        if {a, b} <= {int, float}:
+            return float
+        if {a, b} == {bool, bool}:
+            return bool
+        return str
+
+    for r in rows:
+        try:
+            d = _json.loads(r[0]) if r[0] else {}
+        except ValueError:
+            continue
+        for k, v in (d or {}).items():
+            t = type(v) if type(v) in _rank else str
+            widened[k] = _widen(widened[k], t) if k in widened else t
+
+    _to_spark = {bool: T.BooleanType(), int: T.LongType(), float: T.DoubleType(), str: T.StringType()}
     prop_fields = [
-        T.StructField(f"p_{f.name}", f.dataType, True)
-        for f in inferred.schema.fields
-        if not f.name.startswith("_corrupt")
+        T.StructField(f"p_{k}", _to_spark[widened[k]], True) for k in sorted(widened)
     ]
     return T.StructType(list(base_table_schema().fields) + prop_fields)

@@ -302,6 +302,55 @@ class LakeTable:
         self._write_snapshot(snap)
         return snap
 
+    def history(self) -> list[Snapshot]:
+        """All retained snapshots, oldest first."""
+        snapdir = os.path.join(self.path, _SNAPDIR)
+        versions = sorted(
+            int(f[1:9]) for f in os.listdir(snapdir) if f.startswith("v") and f.endswith(".json")
+        )
+        return [self.snapshot(v) for v in versions]
+
+    def rollback(self, version: int) -> Snapshot:
+        """Point CURRENT back at an older snapshot (Iceberg rollback analog).
+
+        Data files are immutable and shared across snapshots, so rollback
+        is a pure pointer swap; later snapshots remain readable until
+        expired.
+        """
+        target = self.snapshot(version)  # raises if missing
+        snap = Snapshot(
+            version=self.version + 1,
+            schema_json=target.schema_json,
+            num_buckets=target.num_buckets,
+            files=target.files,
+            properties={**target.properties, "rolled_back_from": self.version,
+                        "rolled_back_to": version},
+            parent=self.version,
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    def expire_snapshots(self, keep_last: int = 10) -> list[str]:
+        """Drop old snapshot manifests and any data files only they
+        reference (Iceberg expire_snapshots analog). Never touches the
+        current snapshot's lineage of files. Returns removed data paths."""
+        snaps = self.history()
+        if len(snaps) <= keep_last:
+            return []
+        keep = snaps[-keep_last:]
+        drop = snaps[:-keep_last]
+        live_files = {f for s in keep for f in s.all_files()}
+        removed: list[str] = []
+        for s in drop:
+            for f in s.all_files():
+                if f not in live_files:
+                    p = os.path.join(self.path, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+                        removed.append(f)
+            os.remove(self._snap_path(s.version))
+        return removed
+
     def evolve_schema(self, new_fields: list[T.StructField]) -> T.StructType:
         """Additive schema evolution: append columns not yet present.
 

@@ -107,3 +107,28 @@ def test_crash_before_pointer_swap_is_invisible(spark, tmp_table_dir):
     spark.createDataFrame([("rX", "pX", 9)], SCHEMA).write.mode("overwrite").parquet(stage)
     assert t.version == 0
     assert t.read().count() == 0
+
+
+def test_history_rollback_and_expire(spark, tmp_table_dir):
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=2)
+    for i in range(1, 4):
+        df = _with_bucket(spark.createDataFrame([(f"r{i}", "p", i)], SCHEMA), 2)
+        touched = [r[0] for r in df.select("bucket").distinct().collect()]
+        t.commit_rewrite(df, touched)
+    assert [s.version for s in t.history()] == [0, 1, 2, 3]
+
+    t.rollback(1)
+    assert t.version == 4
+    assert {r["v"] for r in t.read().collect()} == {1}  # state of v1
+    assert t.properties["rolled_back_to"] == 1
+
+    # v1's files must survive expiry because CURRENT (v4) references them
+    removed = t.expire_snapshots(keep_last=2)
+    versions_left = [s.version for s in t.history()]
+    assert versions_left == [3, 4]
+    assert {r["v"] for r in t.read().collect()} == {1}
+    # something from the dropped-only lineage may be removed, never v1 data
+    for f in t.snapshot().all_files():
+        import os as _os
+
+        assert _os.path.exists(_os.path.join(t.path, f))
