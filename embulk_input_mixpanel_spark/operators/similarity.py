@@ -122,3 +122,104 @@ def lsh_bucket_candidates(
         p = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Brute-force all-pairs — correct baseline; use lsh_bucket_candidates to
+    pre-filter at scale (pairs ~ O(n^2) otherwise).
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= threshold)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF partitioning step: assign each vector to its nearest centroid.
+
+    Centroids are deterministic: the vectors with the ``n_centroids``
+    lowest ids (a seeded-IVF; production would run k-means — the
+    *assignment and probing machinery* is what matters here). Assignment
+    is a broadcast join + argmax, one scan of the corpus; this is the
+    partition function that makes ANN queries touch only probed clusters
+    instead of the whole corpus (the 100 TB path).
+    """
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), _to_double(vec_col).alias("_cv")
+    )
+    v = corpus.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("_v"))
+    scored = F.broadcast(cent).join(v).select(
+        "id",
+        "centroid_id",
+        F.round(cosine(F.col("_v"), F.col("_cv")), 4).alias("cos_r"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cos_r"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("centroid_id").alias("cluster"), F.col("cos_r").alias("centroid_cos"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-probed approximate top-k: score only vectors in the query's
+    ``n_probe`` closest clusters (vs the whole corpus for brute force)."""
+    assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), _to_double(vec_col).alias("_cv")
+    )
+    q = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("_qv")
+    )
+    qc = F.broadcast(q).join(cent).select(
+        "query_id",
+        "centroid_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    probed = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("centroid_id").alias("cluster"))
+    )
+    cand = probed.join(assign, "cluster").select("query_id", F.col("id").alias("neighbor_id"))
+    cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    v = corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_nv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), 4).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

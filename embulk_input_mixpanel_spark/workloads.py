@@ -772,3 +772,94 @@ def epoch_normalize(spark, sf_dir):
         F.hour("ts").cast("int").alias("hour_utc"),
         F.date_format("ts", "yyyy-MM-dd").alias("day_utc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search, tier 2: near-dup pairs + IVF-partitioned ANN
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_r
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+)
+def embedding_neardup_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (operators/similarity.py)."""
+    from .operators.similarity import neardup_pairs
+
+    return neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_IVF_ASSIGN_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id AS id, cent.centroid_id,
+             round(list_cosine_similarity(e.v, cent.cv), 4) AS cos_r
+      FROM e CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY cos_r DESC, centroid_id ASC) AS rn
+      FROM scored
+    )
+    SELECT id, centroid_id AS cluster, cos_r AS centroid_cos
+    FROM ranked WHERE rn = 1
+"""
+
+
+@_q("ivf_assign", _IVF_ASSIGN_SQL)
+def ivf_assign_q(spark, sf_dir):
+    """IVF partition step: nearest-centroid assignment (the ANN scale
+    path's shuffle key; operators/similarity.py::ivf_assign)."""
+    from .operators.similarity import ivf_assign
+
+    return ivf_assign(load(spark, sf_dir, "embeddings"), n_centroids=8)
+
+
+@_q(
+    "ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+    assign AS ({_IVF_ASSIGN_SQL}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    qc AS (
+      SELECT query_id, centroid_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                        centroid_id ASC) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probed AS (SELECT query_id, centroid_id AS cluster FROM qc WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, a.id AS neighbor_id
+      FROM probed p JOIN assign a ON a.cluster = p.cluster
+      WHERE a.id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos_r
+      FROM cand c JOIN q ON q.query_id = c.query_id
+      JOIN e ON e.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_r, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_r DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def ivf_topk_q(spark, sf_dir):
+    """Cluster-probed ANN top-k (operators/similarity.py::ivf_topk)."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=3, n_centroids=8, n_probe=2
+    )

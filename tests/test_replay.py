@@ -150,3 +150,17 @@ def test_tombstones_hidden_and_vacuumed(spark, tmp_table_dir, events):
     assert v > 0
     assert t.read(include_tombstones=True).filter("op = 'D'").count() == 0
     assert engine_final_state(t.read()) == visible_before  # vacuum is invisible
+
+
+def test_extreme_hot_key_skew(spark, tmp_table_dir):
+    """One repo receives ~all events (pathological Zipf): the partial-agg
+    latest-wins must reduce map-side without a straggler reducer, and the
+    result must still match the oracle."""
+    n = 60_000
+    ev = (
+        change_events(spark, n, n_repos=1, paths_per_repo=5, dup_rate=0.2, seed=13)
+    )  # 5 keys total, ~14.4k events per key
+    t = open_or_create(spark, tmp_table_dir, num_buckets=8)
+    rep = replay(t, ev, upper_bound=n, slice_size=n)
+    assert rep.batches[0].keys_upserted == 5
+    assert engine_final_state(t.read()) == oracle_final_state(ev.collect())
