@@ -65,7 +65,8 @@ def brute_force_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k))
 
 
 def lsh_bucket_candidates(
@@ -222,4 +223,5 @@ def ivf_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k))

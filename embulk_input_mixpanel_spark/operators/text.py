@@ -59,7 +59,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_punct = F.length(text_col) - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
     return df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         (_hits(t, STOPWORDS).cast("double") / n_tok).alias("stop_ratio"),
         F.round(n_alpha.cast("double") / n_tok, 6).alias("avg_token_len"),
         F.round(n_punct.cast("double") / F.greatest(F.length(text_col), F.lit(1)), 6).alias(
@@ -87,7 +87,11 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     pred = expr
-    return scored.select(id_col, *[f"s_{l}" for l in langs], pred.alias("pred_lang"))
+    return scored.select(
+        id_col,
+        *[F.col(f"s_{l}").cast("long").alias(f"s_{l}") for l in langs],
+        pred.alias("pred_lang"),
+    )
 
 
 def rolling_fingerprint(text_col: str | Column, mod: int = 2**31 - 1) -> Column:

@@ -227,8 +227,8 @@ def residual_prop_keys(spark, sf_dir):
     pm = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
     return load(spark, sf_dir, "events").select(
         "event_id",
-        F.size(F.map_keys(pm)).alias("n_keys"),
-        F.size(F.filter(F.map_keys(pm), lambda x: x != F.lit("k"))).alias("n_unknown"),
+        F.size(F.map_keys(pm)).cast("long").alias("n_keys"),
+        F.size(F.filter(F.map_keys(pm), lambda x: x != F.lit("k"))).cast("long").alias("n_unknown"),
     )
 
 
@@ -446,8 +446,8 @@ def token_stats(spark, sf_dir):
     """Token counting (whitespace tokenizer)."""
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -479,7 +479,7 @@ def quality_score(spark, sf_dir):
     n_alpha = F.length(F.regexp_replace("text", r"\s", ""))
     return load(spark, sf_dir, "documents").select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
         F.round(n_alpha.cast("double") / n_tokens, 6).alias("avg_token_len"),
     )
@@ -756,7 +756,7 @@ def sql_pushdown_param(spark, sf_dir):
     SELECT event_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
            CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS unix_ms,
-           CAST(hour(ts) AS INT) AS hour_utc,
+           CAST(hour(ts) AS BIGINT) AS hour_utc,
            strftime(ts, '%Y-%m-%d') AS day_utc
     FROM events
     """,
@@ -769,7 +769,7 @@ def epoch_normalize(spark, sf_dir):
         "event_id",
         F.unix_timestamp("ts").alias("unix_s"),
         (F.unix_timestamp("ts") * 1000).alias("unix_ms"),
-        F.hour("ts").cast("int").alias("hour_utc"),
+        F.hour("ts").cast("long").alias("hour_utc"),
         F.date_format("ts", "yyyy-MM-dd").alias("day_utc"),
     )
 
