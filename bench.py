@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "quality_score",
     "cosine_topk",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "ivf_topk",
+    "lang_id_heuristic",
 ]
 
 

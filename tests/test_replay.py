@@ -164,3 +164,24 @@ def test_extreme_hot_key_skew(spark, tmp_table_dir):
     rep = replay(t, ev, upper_bound=n, slice_size=n)
     assert rep.batches[0].keys_upserted == 5
     assert engine_final_state(t.read()) == oracle_final_state(ev.collect())
+
+
+def test_untouched_buckets_carry_forward_by_reference(spark, tmp_table_dir):
+    """A small batch must rewrite only the buckets it touches: every other
+    bucket's file list stays literally the same files (no data movement) —
+    the property that makes MERGE cost scale with the batch, not the table."""
+    n = 4000
+    ev = change_events(spark, n, n_repos=40, paths_per_repo=20, seed=21)
+    t = open_or_create(spark, tmp_table_dir, num_buckets=64)
+    replay(t, ev, upper_bound=n - 20, slice_size=n)
+    files_before = dict(t.snapshot().files)
+
+    # tiny tail batch: touches few buckets
+    rep = replay(t, ev, upper_bound=n, slice_size=n)
+    touched = rep.batches[0].touched_buckets
+    assert 0 < touched < 40  # 20 events cannot touch most of 64 buckets
+    files_after = dict(t.snapshot().files)
+    unchanged = [b for b in files_before if files_before[b] == files_after.get(b)]
+    # all non-touched buckets reference the previous snapshot's files
+    assert len(unchanged) >= len(files_before) - touched
+    assert len(unchanged) > 0
