@@ -139,6 +139,7 @@ def apply_batch(
     """
     t0 = time.time()
     timings: dict[str, float] = {}
+    planned_version = table.version  # optimistic-concurrency anchor
     hwm_before = get_hwm_map(table)
     # cursor never regresses even when an unordered stream delivers an
     # older window after a newer one
@@ -175,7 +176,7 @@ def apply_batch(
     props = checkpoint_properties(hwm_after, cursor_seq=cursor_after, last_batch=batch.index)
 
     if rows_in - rows_skipped == 0:
-        snap = table.commit_properties(props)
+        snap = table.commit_properties(props, expected_version=planned_version)
         return ApplyResult(
             batch.index, True, snap.version, rows_in, rows_skipped, distinct_events,
             0, 0, 0, [], hwm_before, hwm_after, time.time() - t0,
@@ -261,7 +262,10 @@ def apply_batch(
     # one output partition per touched bucket -> bounded, clean file layout
     merged = merged.repartition(max(len(touched), 1), "bucket")
 
-    snap = table.commit_rewrite(merged, touched, properties=props, schema=out_schema)
+    snap = table.commit_rewrite(
+        merged, touched, properties=props, schema=out_schema,
+        expected_version=planned_version,
+    )
     timings["merge_write"] = round(time.time() - t0 - sum(timings.values()), 3)
 
     return ApplyResult(

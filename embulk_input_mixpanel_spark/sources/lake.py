@@ -32,8 +32,10 @@ single orchestrator (mixpanel.rb:31). Parallelism lives in the data plane.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -42,7 +44,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["LakeTable", "Snapshot", "bucket_of"]
+__all__ = ["LakeTable", "Snapshot", "bucket_of", "ConcurrentCommitError"]
+
+
+class ConcurrentCommitError(RuntimeError):
+    """The table advanced underneath this writer (optimistic concurrency).
+
+    The engine is single-writer by design (like the reference,
+    lib/embulk/input/mixpanel.rb:31), but a second writer must fail loudly
+    before publishing, never corrupt: commits validate that CURRENT still
+    points at the snapshot the batch was planned against.
+    """
 
 _SNAPDIR = "_snapshots"
 _CURRENT = "CURRENT"
@@ -153,6 +165,36 @@ class LakeTable:
             os.fsync(fh.fileno())
         os.replace(tmp, cur)
 
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout: float = 60.0, stale_after: float = 300.0):
+        """Mutual exclusion for the check-version -> swap-pointer critical
+        section (os.replace alone is last-writer-wins; the optimistic check
+        must be atomic with the swap). O_EXCL lockfile; locks older than
+        ``stale_after`` are treated as crashed holders and broken."""
+        lock = os.path.join(self.path, _SNAPDIR, "LOCK")
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_after:
+                        os.remove(lock)  # crashed holder
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise ConcurrentCommitError("commit lock busy beyond timeout")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock)
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:
             with open(os.path.join(self.path, _SNAPDIR, _CURRENT)) as fh:
@@ -234,6 +276,7 @@ class LakeTable:
         touched_buckets: list[int],
         properties: dict[str, Any] | None = None,
         schema: T.StructType | None = None,
+        expected_version: int | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: replace ``touched_buckets`` with ``df``.
 
@@ -241,13 +284,27 @@ class LakeTable:
         new contents of exactly the touched buckets. Data is written
         *before* the snapshot swap; a crash mid-write leaves the previous
         snapshot fully intact (rollback = do nothing).
+
+        ``expected_version``: optimistic-concurrency guard — refuse to
+        publish if another writer advanced the table since the batch read
+        its inputs (the merge was computed against stale state).
         """
-        prev = self.snapshot()
-        next_version = prev.version + 1
-        stage_rel = os.path.join(_DATADIR, f"v{next_version:08d}")
+        pre = self.snapshot()
+        if expected_version is not None and pre.version != expected_version:
+            raise ConcurrentCommitError(
+                f"table at v{pre.version}, batch planned against v{expected_version}"
+            )
+        # staging dir is unique per ATTEMPT, not per version: two racing
+        # writers must never overwrite each other's staged files (a
+        # version-numbered dir let the loser's overwrite delete files the
+        # winner's committed snapshot referenced). Orphaned attempt dirs
+        # are unreferenced garbage, never referenced by any snapshot.
+        stage_rel = os.path.join(
+            _DATADIR, f"v{pre.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
         stage_abs = os.path.join(self.path, stage_rel)
 
-        out_schema = schema or prev.schema
+        out_schema = schema or pre.schema
         # cast to the declared schema: callers may carry wider inferred
         # types (e.g. python-int long vs table int) and parquet readers
         # reject type drift between files
@@ -261,45 +318,64 @@ class LakeTable:
             .parquet(stage_abs)
         )
 
-        files = {b: list(fl) for b, fl in prev.files.items()}
-        for b in touched_buckets:
-            files[str(b)] = []
+        staged: dict[str, list[str]] = {}
         if os.path.isdir(stage_abs):
             for entry in sorted(os.listdir(stage_abs)):
                 if not entry.startswith("bucket="):
                     continue
                 b = str(int(entry.split("=", 1)[1]))
                 sub = os.path.join(stage_abs, entry)
-                files[b] = [
+                staged[b] = [
                     os.path.join(stage_rel, entry, f)
                     for f in sorted(os.listdir(sub))
                     if f.endswith(".parquet")
                 ]
-        files = {b: fl for b, fl in files.items() if fl}
 
-        snap = Snapshot(
-            version=next_version,
-            schema_json=json.dumps(out_schema.jsonValue()),
-            num_buckets=prev.num_buckets,
-            files=files,
-            properties={**prev.properties, **(properties or {})},
-            parent=prev.version,
-        )
-        self._write_snapshot(snap)
+        # critical section: the optimistic check must be atomic with the
+        # pointer swap, else two writers can both pass and last-wins
+        with self._commit_lock():
+            prev = self.snapshot()
+            if expected_version is not None and prev.version != expected_version:
+                raise ConcurrentCommitError(
+                    f"table advanced to v{prev.version} during the data write "
+                    f"(batch planned against v{expected_version})"
+                )
+            files = {b: list(fl) for b, fl in prev.files.items()}
+            for b in touched_buckets:
+                files[str(b)] = []
+            files.update(staged)
+            files = {b: fl for b, fl in files.items() if fl}
+
+            snap = Snapshot(
+                version=prev.version + 1,
+                schema_json=json.dumps(out_schema.jsonValue()),
+                num_buckets=prev.num_buckets,
+                files=files,
+                properties={**prev.properties, **(properties or {})},
+                parent=prev.version,
+            )
+            self._write_snapshot(snap)
         return snap
 
-    def commit_properties(self, properties: dict[str, Any]) -> Snapshot:
+    def commit_properties(
+        self, properties: dict[str, Any], expected_version: int | None = None
+    ) -> Snapshot:
         """Metadata-only commit (e.g. advance the cursor past an empty batch)."""
-        prev = self.snapshot()
-        snap = Snapshot(
-            version=prev.version + 1,
-            schema_json=prev.schema_json,
-            num_buckets=prev.num_buckets,
-            files=prev.files,
-            properties={**prev.properties, **properties},
-            parent=prev.version,
-        )
-        self._write_snapshot(snap)
+        with self._commit_lock():
+            prev = self.snapshot()
+            if expected_version is not None and prev.version != expected_version:
+                raise ConcurrentCommitError(
+                    f"table at v{prev.version}, batch planned against v{expected_version}"
+                )
+            snap = Snapshot(
+                version=prev.version + 1,
+                schema_json=prev.schema_json,
+                num_buckets=prev.num_buckets,
+                files=prev.files,
+                properties={**prev.properties, **properties},
+                parent=prev.version,
+            )
+            self._write_snapshot(snap)
         return snap
 
     def history(self) -> list[Snapshot]:

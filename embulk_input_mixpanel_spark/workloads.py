@@ -863,3 +863,80 @@ def ivf_topk_q(spark, sf_dir):
     return ivf_topk(
         load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=3, n_centroids=8, n_probe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: selective-filter agg + multi-dimension join chain
+# ---------------------------------------------------------------------------
+
+@_q(
+    "q6_selective_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_selective_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped: highly selective conjunctive filter + global agg —
+    the pushdown/pruning showcase (every predicate reaches the scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_rows"))
+    )
+
+
+@_q(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped: fact -> 4 broadcast dimensions join chain, grouped
+    revenue. All dims broadcast (no fact shuffle for the joins)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1994-01-01")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+    # orders is fact-sized: it joins by shuffle (AQE picks the strategy);
+    # only the true dimensions carry broadcast hints
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
