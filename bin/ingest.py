@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="tolerate truncated JSONL records (counted, skipped)")
     ap.add_argument("--preview", action="store_true", help="dry run: first slice, 10 rows")
     ap.add_argument("--timezone", default="UTC", help="validated; session runs UTC")
+    ap.add_argument("--reserved-keys", default="",
+                    help="comma-separated system prop keys: never promoted, "
+                         "excluded from props_rest (KNOWN_KEYS analog)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -83,9 +86,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.asDict(), default=str))
         return 0
 
+    reserved = [k for k in args.reserved_keys.split(",") if k]
     report = replay(
         table, events, upper_bound=args.upper_bound,
         slice_size=args.slice_size, backfill=args.backfill,
+        apply_kwargs={"reserved_keys": reserved} if reserved else None,
     )
     summary = {
         "batches": len(report.batches),

@@ -33,6 +33,10 @@ class IngestConfig:
     promote_props: bool = True
     residual_only: bool = False
     promoted_keys: tuple[str, ...] | None = None
+    # KNOWN_KEYS analog (reference: export_service.rb:14-18): system
+    # property keys that are never custom data — excluded from both
+    # auto-promotion and the residual props_rest JSON.
+    reserved_keys: tuple[str, ...] = ()
     retry_limit: int = 5
     retry_initial_wait: float = 1.0
 
@@ -60,9 +64,11 @@ class IngestConfig:
 
     def apply_kwargs(self) -> dict:
         """kwargs for operators.apply.apply_batch."""
+        reserved = {"reserved_keys": list(self.reserved_keys)}
         if self.residual_only:
-            return {"promoted_keys": [], "auto_evolve": False}
+            return {"promoted_keys": [], "auto_evolve": False, **reserved}
         return {
             "promoted_keys": list(self.promoted_keys) if self.promoted_keys else None,
             "auto_evolve": self.auto_evolve,
+            **reserved,
         }

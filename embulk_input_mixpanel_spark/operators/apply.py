@@ -123,12 +123,19 @@ def apply_batch(
     count_distinct_events: bool = False,
     observe_metrics: bool = True,
     hwm_skip: bool = True,
+    reserved_keys: list[str] | None = None,
 ) -> ApplyResult:
     """Apply one planned batch of change events to the lake table.
 
     ``count_distinct_events`` adds an exact distinct-event_id count to the
     metrics job — off by default; redeliveries collapse in the latest-wins
     reduction regardless.
+
+    ``reserved_keys`` is the KNOWN_KEYS analog (reference:
+    export_service.rb:14-18): property keys that are system metadata, not
+    custom data — never auto-promoted to ``p_*`` columns and excluded from
+    the residual ``props_rest`` JSON (they are already represented by core
+    columns downstream).
 
     ``hwm_skip``: the row-level HWM filter is an *optimization* that is
     only valid when the source delivers each partition in event_seq order
@@ -204,13 +211,16 @@ def apply_batch(
     )
     timings["discovery"] = round(time.time() - t0 - sum(timings.values()), 3)
     touched = sorted(disc["buckets"])
+    reserved = set(reserved_keys or [])
     new_keys: list[str] = []
     if auto_evolve:
-        new_keys = sorted(k for k in disc["keys"] if k not in promoted)
+        new_keys = sorted(k for k in disc["keys"] if k not in promoted and k not in reserved)
         promoted = promoted + new_keys
 
+    # reserved keys drop out of the residual too: neither promoted nor rest
+    hidden = list(promoted) + sorted(reserved)
     known_arr = (
-        F.array(*[F.lit(k) for k in promoted]) if promoted else F.array().cast("array<string>")
+        F.array(*[F.lit(k) for k in hidden]) if hidden else F.array().cast("array<string>")
     )
     payload = winners.select(
         "repo",

@@ -3,27 +3,46 @@
 Exact + near-duplicate detection, the way a large-scale training-data
 pipeline needs them:
 
-- :func:`fingerprint` / :func:`dedup_exact` — md5 over normalized text,
-  hash-groupBy keep-min. One shuffle on the fingerprint.
+- :func:`fingerprint` / :func:`dedup_exact` — content hash over normalized
+  text, hash-groupBy keep-min. One shuffle on the fingerprint.
 - :func:`shingles` — word n-gram shingle explosion (JVM ``transform`` over
   a token array; no Python).
 - :func:`ngram_jaccard_pairs` — exact Jaccard over shingle sets via a
-  shingle self-join. Scale notes: candidate generation joins on the
-  shingle value, so ubiquitous shingles create hot keys —
-  ``max_shingle_docs`` drops shingles present in more than that many
-  documents (standard df-cap; they carry no discriminative signal and
-  their pair-blowup is quadratic).
-- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash+LSH:
-  signature = per-hash min over shingles (k aggregates in ONE groupBy
-  pass), banded into ``n_bands`` bucket keys; only intra-bucket pairs are
-  candidates. Cost is linear in corpus + output pairs — the 100 TB path.
-  Hash h_i(s) = md5(s || '#' || i) compared as hex strings: string min is
-  a perfectly uniform minhash and is reproducible in any engine (the
-  DuckDB oracle runs the same formula verbatim).
-- :func:`simhash` — 16..64-bit SimHash over tokens using xxhash64 bit
-  votes; near-dups differ in few bits (Hamming via xor+bit_count).
+  shingle self-join. Candidate generation joins on the shingle value, so
+  ubiquitous shingles create hot keys — ``max_shingle_docs`` (default 1000)
+  drops shingles present in more than that many documents (standard df-cap;
+  they carry no discriminative signal and their pair-blowup is quadratic).
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` /
+  :func:`jaccard_pairs_lsh` — MinHash+LSH: signature = per-hash min over
+  shingles (k aggregates in ONE groupBy pass), banded into ``n_bands``
+  bucket keys; only intra-bucket pairs are candidates, then candidates are
+  exactly re-scored. Cost is linear in corpus + candidate count — the
+  100 TB path (vs the quadratic shingle self-join above).
+- :func:`simhash` / :func:`simhash_pairs_banded` — SimHash bit-vote
+  signature; near-dup pairs by Hamming distance found via the pigeonhole
+  banding (split the signature into ``max_hamming+1`` segments; any pair
+  within the radius shares at least one exact segment), which is EXACT —
+  identical output to the brute-force all-pairs join, at bucketed-join
+  cost.
+
+Hash tiers — every hash-driven operator takes ``portable=``:
+
+- ``portable=False`` (engine default): base hash = ``pmod(xxhash64(x), P31)``.
+  Zero crypto hashing in the hot path (JVM MessageDigest serializes under
+  high thread counts at >1M rows/batch — see CLAUDE.md), pure codegen.
+- ``portable=True`` (oracle tier): base hash = the low 60 bits of ONE md5,
+  ``conv(substring(md5(x),1,15),16,10) % P31`` — DuckDB computes the very
+  same value as ``('0x' || substr(md5(x),1,15))::BIGINT % 2147483647``, so
+  the sf0.01 correctness gate replays hash-identical pipelines.
+
+Either base is expanded into k independent 31-bit hashes by the affine
+family ``h_i = (base31 * A_i + B_i) % P31`` (P31 = 2^31-1, Mersenne prime;
+``base31 * A_i < 2^62`` so the product neither wraps in Spark longs nor
+overflow-errors in DuckDB BIGINTs). One real hash per row, k multiplies.
 
 All of it is native column algebra — no UDFs anywhere in this module.
+(reference scope: the reference engine has no dedup family; this module is
+the reference-beyond training-data tier from SURVEY.md §2.)
 """
 
 from __future__ import annotations
@@ -32,16 +51,52 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "P31",
+    "derive_consts",
+    "base31",
     "normalize_text",
     "fingerprint",
     "dedup_exact",
     "shingles",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_from_shingles",
     "lsh_candidate_pairs",
+    "jaccard_pairs_lsh",
     "simhash",
     "simhash_pairs",
+    "simhash_pairs_banded",
 ]
+
+P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime
+
+
+def derive_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine constants (A_i, B_i) for the k-hash family.
+
+    Knuth multiplicative constants folded mod P31; shared verbatim by the
+    DuckDB oracle SQL generators in workloads.py (single source of truth).
+    """
+    return [
+        ((2_654_435_761 * (2 * i + 3)) % P31, (40_503 * (i + 1) + 2_246_822_519) % P31)
+        for i in range(k)
+    ]
+
+
+def base31(col: str | Column, portable: bool = False) -> Column:
+    """Non-negative 31-bit base hash of a string column (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if portable:
+        # one md5; low 60 bits as int, reproducible in DuckDB
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % F.lit(P31)
+    return F.pmod(F.xxhash64(c), F.lit(P31))
+
+
+def _derived(base: Column, k: int) -> list[Column]:
+    return [
+        ((base * F.lit(a) + F.lit(b)) % F.lit(P31)).alias(f"h_{i}")
+        for i, (a, b) in enumerate(derive_consts(k))
+    ]
 
 
 def normalize_text(col: str | Column) -> Column:
@@ -49,15 +104,25 @@ def normalize_text(col: str | Column) -> Column:
     return F.lower(F.regexp_replace(c, r"\s+", " "))
 
 
-def fingerprint(col: str | Column) -> Column:
-    """Content fingerprint over whitespace-normalized lowercase text."""
-    return F.md5(normalize_text(col))
+def fingerprint(col: str | Column, portable: bool = True) -> Column:
+    """Content fingerprint over whitespace-normalized lowercase text.
+
+    ``portable=True`` (md5 hex — engine-portable, 1 hash per DOCUMENT so
+    crypto cost is amortized over the document scan); False = xxhash64 hex
+    for the strict no-crypto tier.
+    """
+    n = normalize_text(col)
+    if portable:
+        return F.md5(n)
+    return F.lower(F.hex(F.xxhash64(n)))
 
 
-def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = True
+) -> DataFrame:
     """Exact dedup: one row per fingerprint, keeper = min id."""
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        df.select(F.col(id_col), fingerprint(text_col, portable).alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
     )
@@ -69,12 +134,19 @@ def _token_array(text_col: str | Column) -> Column:
 
 
 def shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_docs: int | None = None,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Built as transform over index range -> concat_ws of n consecutive
     tokens; explode; distinct. All codegen.
+
+    ``max_shingle_docs`` applies the df-cap here so every consumer
+    (exact Jaccard, MinHash, LSH rescore) sees the same capped universe.
     """
     toks = _token_array(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
@@ -82,34 +154,17 @@ def shingles(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()
     )
-
-
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    threshold: float = 0.8,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_shingle_docs: int | None = None,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jac >= threshold)."""
-    sh = shingles(df, text_col, id_col, n)
     if max_shingle_docs is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_docs)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+        hot = out.groupBy("shingle").count().filter(F.col("count") > max_shingle_docs)
+        out = out.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    return out
+
+
+def _jaccard_from_intersections(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -124,11 +179,38 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
-def _minhash_expr(i: int) -> Column:
-    # hex-string minhash: uniform, engine-portable (md5 exists everywhere)
-    return F.min(F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 16)).alias(
-        f"mh_{i}"
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_docs: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jac >= threshold).
+
+    The shingle self-join is quadratic in per-shingle document frequency;
+    the df-cap (default 1000) bounds the hot-key blowup. Exact baseline —
+    :func:`jaccard_pairs_lsh` is the linear-cost path at scale.
+    """
+    sh = shingles(df, text_col, id_col, n, max_shingle_docs=max_shingle_docs)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
+    return _jaccard_from_intersections(inter, sizes, threshold)
+
+
+def minhash_from_shingles(sh: DataFrame, k: int = 16, portable: bool = False) -> DataFrame:
+    """k-component MinHash signature from a (id, shingle) frame, one pass."""
+    base = base31("shingle", portable)
+    hs = _derived(base, k)
+    return sh.groupBy("id").agg(*[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hs)])
 
 
 def minhash_signatures(
@@ -137,37 +219,88 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
+    max_shingle_docs: int | None = None,
 ) -> DataFrame:
     """k-component MinHash signature per document, one groupBy pass."""
-    sh = shingles(df, text_col, id_col, n)
-    return sh.groupBy("id").agg(*[_minhash_expr(i) for i in range(k)])
+    sh = shingles(df, text_col, id_col, n, max_shingle_docs=max_shingle_docs)
+    return minhash_from_shingles(sh, k=k, portable=portable)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, k: int = 16, n_bands: int = 4) -> DataFrame:
-    """Banded LSH: pairs sharing at least one band bucket (id_a < id_b)."""
+    """Banded LSH: pairs sharing at least one band bucket (id_a < id_b).
+
+    One posexplode + ONE self-equi-join on (band, bucket-key) — not a join
+    per band — so the plan is a single shuffle regardless of n_bands.
+    """
     per = k // n_bands
-    pairs = None
-    for b in range(n_bands):
-        key = F.md5(F.concat_ws("|", *[F.col(f"mh_{b * per + j}") for j in range(per)]))
-        s = signatures.select(F.col("id"), key.alias("bk"))
-        p = (
-            s.alias("x")
-            .join(s.alias("y"), "bk")
-            .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    keys = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"mh_{b * per + j}").cast("string") for j in range(per)])
+            for b in range(n_bands)
+        ]
+    )
+    e = signatures.select(F.col("id"), F.posexplode(keys).alias("band", "bk"))
+    return (
+        e.alias("x")
+        .join(e.alias("y"), ["band", "bk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.85,
+    n: int = 3,
+    k: int = 24,
+    n_bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_docs: int | None = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup pairs = MinHash-LSH candidates -> exact Jaccard re-score.
+
+    The 100 TB dedup path: candidate generation is linear in corpus size
+    (one groupBy for signatures + one bucketed self-join), and the exact
+    intersection join touches only candidate pairs instead of the full
+    shingle self-join. With k=24, n_bands=8 (r=3), a pair at jaccard 0.85
+    is missed with probability (1 - 0.85^3)^8 ~ 5e-4; the sf testdata's
+    near-dup clusters sit at j >= 0.89 and are all recovered (verified
+    against the brute-force oracle at sf0.001/0.01/0.1).
+    """
+    sh = shingles(df, text_col, id_col, n, max_shingle_docs=max_shingle_docs)
+    sig = minhash_from_shingles(sh, k=k, portable=portable)
+    cand = lsh_candidate_pairs(sig, k=k, n_bands=n_bands)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # candidates are a small fraction of n^2 — broadcast them into the
+    # shingle stream so the intersection count never shuffles the corpus
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "shingle")
+        .join(F.broadcast(cand), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_intersections(inter, sizes, threshold)
 
 
 def simhash(
-    df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    bits: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash: per-bit majority vote of token hashes (xxhash64 bit j)."""
+    """SimHash: per-bit majority vote of token hashes (bit j of base31)."""
+    if not 0 < bits <= 31:
+        raise ValueError(f"bits must be in 1..31, got {bits}")
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_token_array(text_col)).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = base31("tok", portable)
     votes = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -181,18 +314,59 @@ def simhash(
     return agg.select("id", sig.alias("simhash"))
 
 
+def _hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
 def simhash_pairs(sig: DataFrame, max_hamming: int = 2) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash (id_a < id_b).
 
-    Brute-force comparison — for the banded scale path split the signature
-    into (max_hamming+1) segments and join on exact-match segments
-    (pigeonhole), same shape as lsh_candidate_pairs.
+    Brute-force all-pairs baseline — O(n^2) range join; kept for oracle
+    formulation and tiny inputs. :func:`simhash_pairs_banded` produces the
+    IDENTICAL result via pigeonhole bucketing and is the executed path.
     """
     a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .withColumn("hamming", _hamming(F.col("ha"), F.col("hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_banded(sig: DataFrame, bits: int = 24, max_hamming: int = 1) -> DataFrame:
+    """EXACT Hamming-radius pairs via pigeonhole banding.
+
+    Split the ``bits``-wide signature into ``max_hamming + 1`` segments:
+    any pair within the radius differs in <= max_hamming bits, so at least
+    one segment matches exactly (pigeonhole) — candidates come from ONE
+    bucketed self-equi-join on (segment index, segment value), then the
+    true Hamming filter runs on candidates only. Output == simhash_pairs
+    (guaranteed, not probabilistic), at linear + |candidates| cost.
+    """
+    n_seg = max_hamming + 1
+    width = bits // n_seg
+    segs = []
+    for s in range(n_seg):
+        lo = s * width
+        w = width if s < n_seg - 1 else bits - lo  # last segment takes the remainder
+        segs.append(F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1)))
+    e = sig.select("id", "simhash", F.posexplode(F.array(*segs)).alias("seg", "sv"))
+    cand = (
+        e.alias("x")
+        .join(e.alias("y"), ["seg", "sv"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", _hamming(F.col("ha"), F.col("hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "lsh_bucket_candidates"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "hyperplanes",
+    "lsh_bucket_candidates",
+    "neardup_pairs_lsh",
+]
 
 
 def _to_double(col: str | Column) -> Column:
@@ -69,6 +75,16 @@ def brute_force_topk(
             .filter(F.col("rnk") <= k))
 
 
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes, shared by the Spark operator and
+    the DuckDB oracle-SQL generator (workloads.py) so both engines compute
+    the identical signatures."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def lsh_bucket_candidates(
     corpus: DataFrame,
     dim: int,
@@ -80,15 +96,17 @@ def lsh_bucket_candidates(
 ) -> DataFrame:
     """Random-hyperplane LSH candidate pairs (id_a < id_b, shared band).
 
-    Planes are deterministic: component w[p][d] = a centered hash of
-    (seed, p, d) — generated as a literal array (tiny: n_planes x dim),
+    Planes are deterministic (:func:`hyperplanes`) — a tiny literal array
     broadcast with the plan itself; the signature computation is a pure
-    column fold per plane, all codegen.
-    """
-    import random
+    column fold per plane, all codegen. Band keys are posexploded into ONE
+    bucketed self-equi-join on (band, key) — a single shuffle regardless
+    of n_bands, linear in corpus size.
 
-    rnd = random.Random(seed)
-    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    Scale sizing: each band has 2^(n_planes/n_bands) buckets; keep
+    bits-per-band ~ log2(corpus) so per-bucket occupancy stays O(1) and
+    candidate volume stays linear. More planes cost only codegen folds.
+    """
+    planes = hyperplanes(dim, n_planes, seed)
 
     v = _to_double(vec_col)
     bits = [
@@ -109,20 +127,52 @@ def lsh_bucket_candidates(
         for p in range(n_planes)
     ]
     per_band = n_planes // n_bands
-    sig = corpus.select(
-        F.col(id_col).alias("id"),
-        *[
-            F.concat(*bits[b * per_band : (b + 1) * per_band]).alias(f"band_{b}")
-            for b in range(n_bands)
-        ],
+    keys = F.array(
+        *[F.concat(*bits[b * per_band : (b + 1) * per_band]) for b in range(n_bands)]
     )
-    pairs = None
-    for b in range(n_bands):
-        left = sig.select(F.col("id").alias("id_a"), F.col(f"band_{b}").alias("bk"))
-        right = sig.select(F.col("id").alias("id_b"), F.col(f"band_{b}").alias("bk"))
-        p = left.join(right, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    e = corpus.select(F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bk"))
+    return (
+        e.alias("x")
+        .join(e.alias("y"), ["band", "bk"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, the scale path: hyperplane-LSH candidate
+    generation -> exact cosine re-score of candidates only.
+
+    Output semantics are the operator's own (pairs that share >= 1 band
+    AND have cos >= threshold) — the approximate contract an ANN dedup at
+    100 TB actually ships, reproduced verbatim by the DuckDB oracle from
+    the same plane constants. Cost: one signature scan + one bucketed
+    self-join + |candidates| rescores; never the n^2 cross join of
+    :func:`neardup_pairs`.
+    """
+    cand = lsh_bucket_candidates(corpus, dim, n_planes, n_bands, seed, id_col, vec_col)
+    va = corpus.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_r"),
+        )
+        .filter(F.col("cos_r") >= threshold)
+    )
 
 
 def neardup_pairs(
@@ -173,11 +223,26 @@ def ivf_assign(
         "centroid_id",
         F.round(cosine(F.col("_v"), F.col("_cv")), 4).alias("cos_r"),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cos_r"), F.asc("centroid_id"))
+    # argmax as max-of-struct: a DeclarativeAggregate with map-side partial
+    # aggregation, so only one row per (id, map task) reaches the shuffle —
+    # vs Window.row_number which would shuffle all n x n_centroids scored
+    # rows to per-id reducers (same pattern as operators/merge.py).
+    # Tiebreak: higher cos_r, then LOWER centroid_id (hence the negation).
+    win = F.max(
+        F.struct(
+            F.col("cos_r").alias("c"),
+            (-F.col("centroid_id")).alias("negid"),
+            F.col("centroid_id").alias("cid"),
+        )
+    ).alias("_w")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("centroid_id").alias("cluster"), F.col("cos_r").alias("centroid_cos"))
+        scored.groupBy("id")
+        .agg(win)
+        .select(
+            "id",
+            F.col("_w.cid").alias("cluster"),
+            F.col("_w.c").alias("centroid_cos"),
+        )
     )
 
 

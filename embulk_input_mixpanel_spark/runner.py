@@ -75,6 +75,7 @@ def replay(
     max_batches: int | None = None,
     run_id: str = "",
     lineage: bool = True,
+    apply_kwargs: dict | None = None,
 ) -> ReplayReport:
     """Apply all events with ``cursor < event_seq <= upper_bound``.
 
@@ -84,6 +85,9 @@ def replay(
       are planned away entirely; a partially-applied batch cannot exist
       (snapshot atomicity), so re-running after a crash is exactly-once.
     - ``fail_injector(batch_index)`` is a test hook raising mid-run.
+    - ``apply_kwargs``: per-batch options forwarded to
+      :func:`operators.apply.apply_batch` — typically
+      ``IngestConfig.apply_kwargs()`` (promoted/reserved keys, evolution).
     """
     cursor = get_cursor(table)
     if upper_bound <= cursor:
@@ -97,7 +101,7 @@ def replay(
     def _apply_one(batch):
         if fail_injector is not None:
             fail_injector(batch.index)
-        return apply_batch(table, events, batch)
+        return apply_batch(table, events, batch, **(apply_kwargs or {}))
 
     for i, batch in enumerate(planner):
         if max_batches is not None and i >= max_batches:
@@ -134,27 +138,80 @@ def preview(
     ).limit(limit)
 
 
-def guess_schema(events: DataFrame, sample: int = 10) -> T.StructType:
+# timestamp-string detection, mirroring the reference's format plumbing
+# (column["format"]: mixpanel.rb:15-20; SchemaGuess timestamp goldens
+# export_service.rb:195-197, jql_service.rb:134-136,
+# test_export_service.rb:65-184). Each entry: (regex, spark format, type).
+_TS_PATTERNS: list[tuple[str, str, T.DataType]] = [
+    (
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})$",
+        "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX",
+        T.TimestampType(),
+    ),
+    (
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?$",
+        "yyyy-MM-dd'T'HH:mm:ss[.SSS]",
+        T.TimestampType(),
+    ),
+    (
+        r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d{1,9})?$",
+        "yyyy-MM-dd HH:mm:ss[.SSS]",
+        T.TimestampType(),
+    ),
+    (r"^\d{4}-\d{2}-\d{2}$", "yyyy-MM-dd", T.DateType()),
+]
+
+
+def _guess_ts_format(s: str) -> tuple[str, T.DataType] | None:
+    import re
+
+    for pat, fmt, typ in _TS_PATTERNS:
+        if re.match(pat, s):
+            return fmt, typ
+    return None
+
+
+def guess_schema_with_formats(
+    events: DataFrame, sample: int = 10
+) -> tuple[T.StructType, dict[str, str]]:
     """Schema inference from a bounded sample — the ``guess`` analog.
 
     The reference samples 10 records and runs SchemaGuess with per-field
-    type widening (export_service.rb:188-203; client.rb:15). Same here:
-    a LocalLimit-pushed sample, then driver-side widening over the parsed
-    ``props`` JSON (bool < long < double < string) — no RDDs, no full scan.
+    type widening plus timestamp-format detection
+    (export_service.rb:188-203; client.rb:15; format plumbing
+    mixpanel.rb:15-20). Same here: a LocalLimit-pushed sample, then
+    driver-side widening over the parsed ``props`` JSON
+    (bool < long < double < string; consistent timestamp-shaped strings
+    become TimestampType/DateType with their parse format) — no RDDs, no
+    full scan.
+
+    Returns ``(schema, formats)`` where ``formats`` maps promoted column
+    name -> Spark datetime pattern (only for timestamp/date columns), the
+    ``column["format"]`` analog a caller feeds to ``F.to_timestamp``.
     """
     import json as _json
 
     rows = events.select("props").limit(sample).collect()
-    widened: dict[str, type] = {}
+    # per key: a python type, or a ("ts", fmt, DataType) marker for
+    # consistently timestamp-shaped strings
+    widened: dict[str, object] = {}
     _rank = {bool: 0, int: 1, float: 2, str: 3}
 
-    def _widen(a: type, b: type) -> type:
-        if a is b:
+    def _classify(v) -> object:
+        if isinstance(v, str):
+            ts = _guess_ts_format(v)
+            if ts is not None:
+                return ("ts", ts[0], ts[1])
+            return str
+        return type(v) if type(v) in _rank else str
+
+    def _widen(a: object, b: object) -> object:
+        if a == b:
             return a
+        if isinstance(a, tuple) or isinstance(b, tuple):
+            return str  # timestamp mixed with anything else (or another format)
         if {a, b} <= {int, float}:
             return float
-        if {a, b} == {bool, bool}:
-            return bool
         return str
 
     for r in rows:
@@ -163,11 +220,22 @@ def guess_schema(events: DataFrame, sample: int = 10) -> T.StructType:
         except ValueError:
             continue
         for k, v in (d or {}).items():
-            t = type(v) if type(v) in _rank else str
+            t = _classify(v)
             widened[k] = _widen(widened[k], t) if k in widened else t
 
     _to_spark = {bool: T.BooleanType(), int: T.LongType(), float: T.DoubleType(), str: T.StringType()}
-    prop_fields = [
-        T.StructField(f"p_{k}", _to_spark[widened[k]], True) for k in sorted(widened)
-    ]
-    return T.StructType(list(base_table_schema().fields) + prop_fields)
+    prop_fields: list[T.StructField] = []
+    formats: dict[str, str] = {}
+    for k in sorted(widened):
+        t = widened[k]
+        if isinstance(t, tuple):
+            prop_fields.append(T.StructField(f"p_{k}", t[2], True))
+            formats[f"p_{k}"] = t[1]
+        else:
+            prop_fields.append(T.StructField(f"p_{k}", _to_spark[t], True))
+    return T.StructType(list(base_table_schema().fields) + prop_fields), formats
+
+
+def guess_schema(events: DataFrame, sample: int = 10) -> T.StructType:
+    """Schema-only variant of :func:`guess_schema_with_formats`."""
+    return guess_schema_with_formats(events, sample)[0]

@@ -7,12 +7,14 @@ truncated mid-record and raises ``IncompleteExportResponseError`` unless
 (reference: lib/embulk/input/mixpanel_api/client.rb:127-156;
 lib/embulk/input/service/export_service.rb:128-133).
 
-Spark-side the same contract is: read JSONL PERMISSIVE with a corrupt-
-record column; corrupt rows (truncated tail, malformed lines) are counted
-via a cheap line-count pass vs parsed-count; ``allow_partial``
-False converts any corrupt row into :class:`IncompleteStreamError` BEFORE
-anything is committed (snapshot atomicity = nothing partial ever
-visible; the reference instead tracks per-slice row buffers).
+Spark-side the same contract is: read JSONL PERMISSIVE (a malformed or
+truncated line parses to an all-null row, and ``event_id`` is required,
+so ``event_id IS NULL`` == corrupt record); attempted/corrupt counts come
+from ONE aggregate over the same scan — no second pass over raw input.
+``allow_partial`` False converts any corrupt row into
+:class:`IncompleteStreamError` BEFORE anything is committed (snapshot
+atomicity = nothing partial ever visible; the reference instead tracks
+per-slice row buffers).
 
 Also carries the guess/preview limit-pushdown scan (limit 10;
 client.rb:15,170-178) and the expanding-window probe
@@ -78,17 +80,23 @@ def read_jsonl_events(
         df = df.limit(limit)
 
     # PERMISSIVE turns a malformed/truncated line into an all-null row;
-    # event_id is required, so null event_id == corrupt record. Attempted
-    # records = physical lines (a truncated trailing record is still one
-    # line — same accounting as the reference's leftover `buf`).
-    clean = df.filter(F.col("event_id").isNotNull())
-    total = spark.read.text(path).count() if limit is None else df.count()
-    parsed = clean.count()
-    corrupt = total - parsed
+    # event_id is required, so null event_id == corrupt record (a truncated
+    # trailing record is still one attempted row — same accounting as the
+    # reference's leftover `buf`). ONE aggregate over the scan yields both
+    # counts; the old line-count pass (spark.read.text) would re-read the
+    # raw input a second time — 2x scan cost at ingest scale.
+    stats = df.agg(
+        F.count(F.lit(1)).alias("attempted"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).alias("corrupt"),
+    ).first()
+    total = int(stats["attempted"])
+    corrupt = int(stats["corrupt"] or 0)
+    parsed = total - corrupt
     if corrupt and not allow_partial:
         raise IncompleteStreamError(
             f"{corrupt}/{total} records corrupt/truncated and allow_partial=False"
         )
+    clean = df.filter(F.col("event_id").isNotNull())
     return JsonlScan(df=clean, corrupt_count=corrupt, total_count=parsed)
 
 

@@ -92,8 +92,8 @@ def pushdown_compound_where(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n_total,
-           sum(CASE WHEN event_id > 5000 THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN event_id <= 5000 THEN 1 ELSE 0 END) AS n_skipped
+           CAST(sum(CASE WHEN event_id > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN event_id <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
     FROM events GROUP BY event_type
     """,
 )
@@ -407,10 +407,13 @@ _FP = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
     f"SELECT doc_id, {_FP} AS fp FROM documents",
 )
 def doc_fingerprint(spark, sf_dir):
-    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    """Document fingerprint (operators/dedup.py::fingerprint, portable tier:
+    md5 over whitespace-normalized lowercase text — ONE hash per document,
+    amortized over the scan; the xxhash64 tier is fingerprint(portable=False))."""
+    from .operators.dedup import fingerprint
+
     return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+        "doc_id", fingerprint("text", portable=True).alias("fp")
     )
 
 
@@ -423,13 +426,13 @@ def doc_fingerprint(spark, sf_dir):
     """,
 )
 def dedup_exact_docs(spark, sf_dir):
-    """Exact dedup: hash-groupBy on content fingerprint, keep min doc_id."""
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp")
+    """Exact dedup: hash-groupBy on content fingerprint, keep min doc_id
+    (operators/dedup.py::dedup_exact)."""
+    from .operators.dedup import dedup_exact
+
     return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", fp)
-        .groupBy("fp")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        dedup_exact(load(spark, sf_dir, "documents"), portable=True)
+        .withColumnRenamed("keeper", "keeper_doc_id")
     )
 
 
@@ -537,19 +540,41 @@ def flagship_entry(spark: SparkSession) -> DataFrame:
 # Near-dup detection + text analysis (operators/dedup.py, operators/text.py)
 # ---------------------------------------------------------------------------
 
-_SHINGLES_SQL = r"""
+# portable base hash (see operators/dedup.py module doc): one md5, low 60
+# bits as int, folded to 31 bits — DuckDB computes the identical value
+_P31 = 2_147_483_647
+_BASE31_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT % 2147483647)"
+_DF_CAP = 1000  # max_shingle_docs df-cap, mirrored on both engines
+
+
+def _shingles_sql(cap: int | None = _DF_CAP) -> str:
+    raw = r"""
       SELECT doc_id AS id, unnest(list_distinct(list_transform(
                generate_series(1, greatest(len(tok) - 2, 0)),
                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS shingle
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
             FROM documents)
 """
+    if cap is None:
+        return raw
+    return f"""
+      SELECT * FROM ({raw}) WHERE shingle NOT IN (
+        SELECT shingle FROM ({raw}) GROUP BY shingle HAVING count(*) > {cap})
+"""
 
 
-@_q(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+def _mh_cols_sql(k: int) -> str:
+    from .operators.dedup import derive_consts
+
+    base = _BASE31_SQL.format(x="shingle")
+    return ",\n           ".join(
+        f"min(({base} * {a} + {b}) % {_P31}) AS mh_{i}"
+        for i, (a, b) in enumerate(derive_consts(k))
+    )
+
+
+_JACCARD_PAIRS_SQL = """
+    WITH sh AS ({shingles}),
     sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -561,74 +586,144 @@ _SHINGLES_SQL = r"""
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
-    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
-    """,
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+"""
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    _JACCARD_PAIRS_SQL.format(shingles=_shingles_sql(), threshold=0.5),
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (operators/dedup.py)."""
+    """Exact 3-gram Jaccard near-dup pairs (operators/dedup.py). The
+    df-cap (max_shingle_docs=1000) bounds hot-shingle pair blowup; the
+    oracle applies the identical cap."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, n=3, max_shingle_docs=_DF_CAP
+    )
+
+
+@_q(
+    "neardup_docs_lsh",
+    # the oracle is the BRUTE-FORCE exact formulation: the LSH path's output
+    # is hash-independent once recall is total, which it is for this data's
+    # near-dup clusters (j >= 0.89 vs miss probability (1-j^3)^8 per pair;
+    # verified identical at sf0.001/0.01/0.1)
+    _JACCARD_PAIRS_SQL.format(shingles=_shingles_sql(), threshold=0.85),
+)
+def neardup_docs_lsh_q(spark, sf_dir):
+    """THE scale-path document dedup query: xxhash64 MinHash (k=24) ->
+    banded LSH (8 bands x 3) -> exact Jaccard re-score of candidates only.
+    No crypto hash, no full shingle self-join (operators/dedup.py::
+    jaccard_pairs_lsh)."""
+    from .operators.dedup import jaccard_pairs_lsh
+
+    return jaccard_pairs_lsh(
+        load(spark, sf_dir, "documents"), threshold=0.85, n=3, k=24, n_bands=8,
+        max_shingle_docs=_DF_CAP, portable=False,
+    )
 
 
 _MINHASH_K = 8
-_MH_COLS_SQL = ",\n           ".join(
-    f"min(substr(md5(shingle || '#{i}'), 1, 16)) AS mh_{i}" for i in range(_MINHASH_K)
-)
 
 
 @_q(
     "minhash_signatures",
     f"""
-    WITH sh AS ({_SHINGLES_SQL})
-    SELECT id, {_MH_COLS_SQL}
+    WITH sh AS ({_shingles_sql()})
+    SELECT id, {_mh_cols_sql(_MINHASH_K)}
     FROM sh GROUP BY id
     """,
 )
 def minhash_signatures_q(spark, sf_dir):
-    """MinHash signatures, k=8, one groupBy pass (operators/dedup.py)."""
+    """MinHash signatures, k=8, one groupBy pass + ONE md5 per shingle
+    (portable tier; the engine tier is xxhash64-based, zero crypto —
+    operators/dedup.py::minhash_signatures)."""
     from .operators.dedup import minhash_signatures
 
-    return minhash_signatures(load(spark, sf_dir, "documents"), k=_MINHASH_K, n=3)
+    return minhash_signatures(
+        load(spark, sf_dir, "documents"), k=_MINHASH_K, n=3, portable=True,
+        max_shingle_docs=_DF_CAP,
+    )
+
+
+def _lsh_bands_sql(k: int, n_bands: int) -> str:
+    per = k // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = ", ".join(f"CAST(mh_{b * per + j} AS VARCHAR)" for j in range(per))
+        bands.append(
+            f"SELECT x.id AS id_a, y.id AS id_b FROM "
+            f"(SELECT id, concat_ws('|', {cols}) AS bk FROM sig) x JOIN "
+            f"(SELECT id, concat_ws('|', {cols}) AS bk FROM sig) y "
+            f"ON x.bk = y.bk AND x.id < y.id"
+        )
+    return "\n      UNION ALL\n      ".join(bands)
 
 
 @_q(
     "minhash_lsh_candidates",
     f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    sig AS (SELECT id, {_MH_COLS_SQL} FROM sh GROUP BY id),
-    b0 AS (SELECT id, md5(concat_ws('|', mh_0, mh_1)) AS bk FROM sig),
-    b1 AS (SELECT id, md5(concat_ws('|', mh_2, mh_3)) AS bk FROM sig),
-    b2 AS (SELECT id, md5(concat_ws('|', mh_4, mh_5)) AS bk FROM sig),
-    b3 AS (SELECT id, md5(concat_ws('|', mh_6, mh_7)) AS bk FROM sig),
+    WITH sh AS ({_shingles_sql()}),
+    sig AS (SELECT id, {_mh_cols_sql(_MINHASH_K)} FROM sh GROUP BY id),
     pairs AS (
-      SELECT x.id AS id_a, y.id AS id_b FROM b0 x JOIN b0 y ON x.bk = y.bk AND x.id < y.id
-      UNION ALL
-      SELECT x.id, y.id FROM b1 x JOIN b1 y ON x.bk = y.bk AND x.id < y.id
-      UNION ALL
-      SELECT x.id, y.id FROM b2 x JOIN b2 y ON x.bk = y.bk AND x.id < y.id
-      UNION ALL
-      SELECT x.id, y.id FROM b3 x JOIN b3 y ON x.bk = y.bk AND x.id < y.id
+      {_lsh_bands_sql(_MINHASH_K, 4)}
     )
     SELECT DISTINCT id_a, id_b FROM pairs
     """,
 )
 def minhash_lsh_candidates_q(spark, sf_dir):
-    """Banded MinHash-LSH candidate pairs (operators/dedup.py)."""
+    """Banded MinHash-LSH candidate pairs: posexplode band keys -> ONE
+    bucketed self-equi-join (operators/dedup.py::lsh_candidate_pairs)."""
     from .operators.dedup import lsh_candidate_pairs, minhash_signatures
 
-    sig = minhash_signatures(load(spark, sf_dir, "documents"), k=_MINHASH_K, n=3)
+    sig = minhash_signatures(
+        load(spark, sf_dir, "documents"), k=_MINHASH_K, n=3, portable=True,
+        max_shingle_docs=_DF_CAP,
+    )
     return lsh_candidate_pairs(sig, k=_MINHASH_K, n_bands=4)
 
 
-@_q("simhash_neardups", None)  # xxhash64 has no DuckDB twin -> rows-only check
-def simhash_neardups_q(spark, sf_dir):
-    """SimHash near-dup pairs (operators/dedup.py); semantic tests live in
-    tests/test_dedup.py (identical docs -> hamming 0)."""
-    from .operators.dedup import simhash, simhash_pairs
+_SIMHASH_BITS = 24
 
-    sig = simhash(load(spark, sf_dir, "documents"), bits=16)
-    return simhash_pairs(sig, max_hamming=1)
+
+def _simhash_sql(bits: int) -> str:
+    base = _BASE31_SQL.format(x="tok")
+    votes = ",\n             ".join(
+        f"CAST(sum(CASE WHEN (({base} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+      SELECT id, CAST({sig} AS BIGINT) AS simhash FROM (
+        SELECT id, {votes}
+        FROM (SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents)
+        GROUP BY id)
+"""
+
+
+@_q(
+    "simhash_neardups",
+    f"""
+    WITH sig AS ({_simhash_sql(_SIMHASH_BITS)})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def simhash_neardups_q(spark, sf_dir):
+    """SimHash near-dup pairs via EXACT pigeonhole banding — identical
+    output to the brute-force oracle, at bucketed-join cost
+    (operators/dedup.py::simhash_pairs_banded)."""
+    from .operators.dedup import simhash, simhash_pairs_banded
+
+    sig = simhash(load(spark, sf_dir, "documents"), bits=_SIMHASH_BITS, portable=True)
+    pairs = simhash_pairs_banded(sig, bits=_SIMHASH_BITS, max_hamming=1)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 _LANGS_SQL_SCORE = {
@@ -789,10 +884,97 @@ def epoch_normalize(spark, sf_dir):
     """,
 )
 def embedding_neardup_pairs_q(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (operators/similarity.py)."""
+    """Embedding-cosine near-dup pairs, exact all-pairs ground truth — the
+    correctness baseline for the LSH-bucketed scale path below
+    (operators/similarity.py::neardup_pairs)."""
     from .operators.similarity import neardup_pairs
 
     return neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# 8 bits per band = 256 buckets/band: the bucket count (2^bits_per_band)
+# must track corpus size (~log2(n) bits) to keep per-bucket occupancy — and
+# therefore candidate volume — bounded; planes are free, so widen bands as
+# the corpus grows rather than accepting hot buckets.
+_EMB_DIM, _N_PLANES, _N_BANDS, _LSH_SEED = 64, 32, 4, 42
+
+
+def _hyperplane_sig_sql() -> str:
+    """DuckDB band signatures from the SAME plane constants as the Spark
+    operator (operators/similarity.py::hyperplanes) — the fold starts at
+    0.0 and runs left-to-right in both engines, so the dot products (and
+    therefore every sign bit) are IEEE754 bit-identical."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(_EMB_DIM, _N_PLANES, _LSH_SEED)
+    per = _N_PLANES // _N_BANDS
+
+    def bit(p: int) -> str:
+        arr = "[" + ", ".join(repr(w) for w in planes[p]) + "]"
+        return (
+            "(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {_EMB_DIM + 1}), i -> v[i] * ({arr})[i])), "
+            "(a, b) -> a + b) >= 0 THEN '1' ELSE '0' END)"
+        )
+
+    bands = ",\n             ".join(
+        " || ".join(bit(b * per + j) for j in range(per)) + f" AS band_{b}"
+        for b in range(_N_BANDS)
+    )
+    joins = "\n      UNION ALL\n      ".join(
+        f"SELECT x.id AS id_a, y.id AS id_b FROM sig x JOIN sig y "
+        f"ON x.band_{b} = y.band_{b} AND x.id < y.id"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id AS id,
+             {bands}
+            FROM e),
+    pairs AS (
+      {joins}
+    ),
+    cand AS (SELECT DISTINCT id_a, id_b FROM pairs)
+"""
+
+
+@_q(
+    "hyperplane_lsh_candidates",
+    _hyperplane_sig_sql() + "SELECT id_a, id_b FROM cand",
+)
+def hyperplane_lsh_candidates_q(spark, sf_dir):
+    """Random-hyperplane LSH candidate pairs over embeddings: linear
+    signature scan + ONE bucketed self-equi-join; the candidate generator
+    of the ANN dedup scale path (operators/similarity.py::
+    lsh_bucket_candidates)."""
+    from .operators.similarity import lsh_bucket_candidates
+
+    return lsh_bucket_candidates(
+        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM,
+        n_planes=_N_PLANES, n_bands=_N_BANDS, seed=_LSH_SEED,
+    )
+
+
+@_q(
+    "embedding_neardup_lsh",
+    _hyperplane_sig_sql()
+    + """
+    SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos_r
+    FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+)
+def embedding_neardup_lsh_q(spark, sf_dir):
+    """Embedding near-dup pairs, the executed scale path: hyperplane-LSH
+    candidates -> exact cosine re-score of candidates only. The oracle
+    replays the identical approximate contract (same planes, same bands,
+    same re-score) in DuckDB (operators/similarity.py::neardup_pairs_lsh)."""
+    from .operators.similarity import neardup_pairs_lsh
+
+    return neardup_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, dim=_EMB_DIM,
+        n_planes=_N_PLANES, n_bands=_N_BANDS, seed=_LSH_SEED,
+    )
 
 
 _IVF_ASSIGN_SQL = """

@@ -11,7 +11,7 @@ from embulk_input_mixpanel_spark.sources.lake import ConcurrentCommitError, Lake
 def test_config_valid_defaults():
     cfg = IngestConfig(table_path="/tmp/t", slice_size=1000)
     assert cfg.auto_evolve
-    assert cfg.apply_kwargs() == {"promoted_keys": None, "auto_evolve": True}
+    assert cfg.apply_kwargs() == {"promoted_keys": None, "auto_evolve": True, "reserved_keys": []}
 
 
 @pytest.mark.parametrize(
@@ -36,7 +36,7 @@ def test_config_rejects_bad_combinations(kwargs):
 def test_config_residual_only_mode():
     cfg = IngestConfig(table_path="/tmp/t", slice_size=10,
                        promote_props=False, residual_only=True)
-    assert cfg.apply_kwargs() == {"promoted_keys": [], "auto_evolve": False}
+    assert cfg.apply_kwargs() == {"promoted_keys": [], "auto_evolve": False, "reserved_keys": []}
 
 
 SCHEMA = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])

@@ -5,12 +5,14 @@ from pyspark.sql import functions as F
 
 from embulk_input_mixpanel_spark.operators.dedup import (
     dedup_exact,
+    jaccard_pairs_lsh,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     shingles,
     simhash,
     simhash_pairs,
+    simhash_pairs_banded,
 )
 from embulk_input_mixpanel_spark.operators.multimodal import (
     extract_features_stub,
@@ -67,6 +69,81 @@ def test_simhash_identical_zero_hamming(spark, docs):
     assert pairs[(1, 4)] == 0
     s = {r["id"]: r["simhash"] for r in sig.collect()}
     assert s[1] != s[5]  # unrelated docs differ
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_simhash_banded_equals_brute(spark, docs, portable):
+    """Pigeonhole banding is EXACT: identical pair set + hamming as brute."""
+    sig = simhash(docs, bits=24, portable=portable)
+    brute = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(sig, max_hamming=2).collect()}
+    banded = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in simhash_pairs_banded(sig, bits=24, max_hamming=2).collect()}
+    assert banded == brute
+    assert banded[(1, 4)] == 0  # exact dups at hamming 0 in every tier
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_jaccard_lsh_equals_exact_on_neardups(spark, docs, portable):
+    """LSH-candidates -> exact rescore reproduces the exact join's output
+    (near-dup tier j >= 0.5 is fully recalled on this corpus in both hash
+    tiers)."""
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()}
+    via_lsh = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in jaccard_pairs_lsh(
+                   docs, threshold=0.5, n=3, k=24, n_bands=8, portable=portable
+               ).collect()}
+    assert via_lsh == exact
+    assert (1, 4) in via_lsh and via_lsh[(1, 4)] == 1.0
+
+
+def test_hot_shingle_df_cap_bounds_pair_blowup(spark):
+    """A ubiquitous shingle (present in every doc) must not produce a
+    quadratic pair explosion once the df-cap drops it."""
+    n = 400
+    rows = [(i, f"common prefix here unique{i} tail{i} words{i} more{i}") for i in range(n)]
+    rows += [(n, rows[0][1])]  # one true exact dup of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped_sh = shingles(df, n=3, max_shingle_docs=100)
+    assert capped_sh.filter(F.col("shingle") == "common prefix here").count() == 0
+    pairs = ngram_jaccard_pairs(df, threshold=0.8, n=3, max_shingle_docs=100).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, n)}
+    via_lsh = jaccard_pairs_lsh(df, threshold=0.8, n=3, max_shingle_docs=100).collect()
+    assert {(r["id_a"], r["id_b"]) for r in via_lsh} == {(0, n)}
+
+
+def test_minhash_portable_matches_duckdb_formula(spark, docs):
+    """The portable tier's affine family reproduces in DuckDB verbatim —
+    the same guarantee the sf0.01 gate relies on."""
+    import duckdb
+
+    from embulk_input_mixpanel_spark.operators.dedup import P31, derive_consts
+
+    sig = minhash_signatures(docs, k=4, n=3, portable=True)
+    got = {r["id"]: [r[f"mh_{i}"] for i in range(4)] for r in sig.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    base = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647)"
+    cols = ", ".join(
+        f"min(({base} * {a} + {b}) % {P31}) AS mh_{i}"
+        for i, (a, b) in enumerate(derive_consts(4))
+    )
+    want = {
+        r[0]: list(r[1:])
+        for r in con.execute(
+            r"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(tok) - 2, 0)),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS shingle
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok
+                    FROM documents))
+            SELECT id, """ + cols + " FROM sh GROUP BY id"
+        ).fetchall()
+    }
+    assert got == want
 
 
 def test_lang_id_votes(spark, docs):

@@ -38,14 +38,41 @@ def test_latest_wins_is_partial_aggregate_not_window(spark):
     assert "Window" not in plan
 
 
-def test_no_python_udf_in_cdc_query_plans(spark):
-    for name in [
-        "window_filter", "watermark_skip_metrics", "latest_wins_per_user",
-        "cdc_replay_latest_state", "flatten_props", "residual_prop_keys",
-        "q1_pricing_summary", "broadcast_dim_join", "dedup_exact_docs",
-    ]:
+def test_no_python_udf_no_cartesian_in_any_query_plan(spark):
+    """EVERY registered query (CDC + relational + training-data family)
+    stays JVM-side and never degenerates to a CartesianProduct."""
+    for name in workloads.SPARK_QUERIES:
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+# the exact all-pairs baselines (bounded panels / ground-truth tiers) are
+# BroadcastNestedLoopJoin BY DESIGN; every scale-path query must not be
+_SCALE_PATH = [
+    "neardup_docs_lsh",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "simhash_neardups",
+    "hyperplane_lsh_candidates",
+    "embedding_neardup_lsh",
+    # NOT ivf_assign: scoring every vector against the broadcast centroid
+    # set is a deliberate BroadcastNestedLoopJoin (linear: n x n_centroids)
+]
+
+
+def test_scale_path_queries_use_only_hash_joins(spark):
+    for name in _SCALE_PATH:
+        plan = _plan(spark, name)
+        assert "NestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_assign_is_partial_aggregate_not_window(spark):
+    plan = _plan(spark, "ivf_assign")
+    assert "partial_max" in plan  # map-side argmax combine
+    assert "Window" not in plan
 
 
 def test_wholestage_codegen_covers_scan_queries(spark):

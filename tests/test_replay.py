@@ -109,6 +109,22 @@ def test_schema_evolution_adds_column_additively(spark, tmp_table_dir, events):
     assert all(r[0] is None for r in old)
 
 
+def test_reserved_keys_never_promoted_nor_residual(spark, tmp_table_dir, events):
+    """KNOWN_KEYS analog (reference export_service.rb:14-18 + custom-props
+    golden test_export_service.rb:750-802): reserved system keys are
+    excluded from auto-promotion AND from the residual props_rest JSON;
+    custom keys still evolve into typed p_* columns."""
+    t = open_or_create(spark, tmp_table_dir, num_buckets=8)
+    replay(t, events, upper_bound=N, slice_size=1000,
+           apply_kwargs={"reserved_keys": ["mode"]})
+    cols = {f.name for f in t.schema.fields}
+    assert "p_mode" not in cols          # reserved: never promoted
+    assert {"p_size", "p_branch"} <= cols  # custom keys still evolve
+    rest = t.read().select("props_rest").filter(
+        F.col("props_rest").contains('"mode"')).count()
+    assert rest == 0                     # reserved: not in the residual either
+
+
 def test_hwm_map_is_per_source_partition(spark, tmp_table_dir, events):
     t = open_or_create(spark, tmp_table_dir, num_buckets=8)
     replay(t, events, upper_bound=N, slice_size=1500)

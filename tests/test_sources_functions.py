@@ -159,6 +159,47 @@ def test_guess_schema_from_sample(spark):
     assert {"repo", "path", "content_sha", "p_size", "p_mode", "p_branch"} <= names
 
 
+def test_guess_schema_timestamps_with_formats(spark):
+    """Timestamp-shaped prop strings guess to TimestampType/DateType with
+    their parse format (reference format plumbing: mixpanel.rb:15-20,
+    export_service.rb:195-197; goldens test_export_service.rb:65-184)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from embulk_input_mixpanel_spark.runner import guess_schema_with_formats
+
+    props = [
+        json.dumps(
+            {
+                "created": f"2024-01-0{i + 1}T10:0{i}:00Z",
+                "day": f"2024-01-0{i + 1}",
+                "note": "free text",
+                "mixed": "2024-01-01" if i % 2 == 0 else "not a date",
+                "n": i,
+            }
+        )
+        for i in range(5)
+    ]
+    ev = spark.createDataFrame([(p,) for p in props], ["props"])
+    schema, formats = guess_schema_with_formats(ev, sample=10)
+    by_name = {f.name: f.dataType for f in schema.fields}
+    assert isinstance(by_name["p_created"], T.TimestampType)
+    assert isinstance(by_name["p_day"], T.DateType)
+    assert isinstance(by_name["p_note"], T.StringType)
+    assert isinstance(by_name["p_mixed"], T.StringType)  # inconsistent -> widened
+    assert isinstance(by_name["p_n"], T.LongType)
+    assert set(formats) == {"p_created", "p_day"}
+    # round-trip: the emitted format parses every sampled value
+    parsed = (
+        ev.select(F.get_json_object("props", "$.created").alias("s"))
+        .select(F.to_timestamp("s", formats["p_created"]).alias("t"))
+        .collect()
+    )
+    assert all(r["t"] is not None for r in parsed)
+
+
 def test_sql_pushdown_param_binding(spark):
     """(reference: param injection jql_service.rb:192-197 — S5)"""
     from embulk_input_mixpanel_spark.sources.sqlquery import run_pushdown_query

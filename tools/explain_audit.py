@@ -24,8 +24,19 @@ AUDIT = [
     "q1_pricing_summary",
     "broadcast_dim_join",
     "topk_revenue_orders",
+    "q5_region_revenue",
+    "q6_selective_revenue",
+    # training-data family: the scale paths whose plans carry the 100 TB story
     "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "neardup_docs_lsh",
+    "simhash_neardups",
     "cosine_topk",
+    "hyperplane_lsh_candidates",
+    "embedding_neardup_lsh",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
