@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
+    "neardup_docs_lsh",
+    "embedding_neardup_lsh",
     "ivf_topk",
     "lang_id_heuristic",
 ]

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import content_sha
-from ..plans.checkpoint import checkpoint_properties, get_hwm_map
+from ..plans.checkpoint import checkpoint_properties, get_cursor, get_hwm_map
 from ..plans.windows import Batch
 from ..sources.lake import LakeTable
 from .merge import latest_wins, merge_upsert
@@ -124,6 +124,7 @@ def apply_batch(
     observe_metrics: bool = True,
     hwm_skip: bool = True,
     reserved_keys: list[str] | None = None,
+    writer_id: str = "",
 ) -> ApplyResult:
     """Apply one planned batch of change events to the lake table.
 
@@ -143,6 +144,10 @@ def apply_batch(
     Unordered sources (streaming file tails) pass False — correctness then
     rests entirely on the latest-wins merge, which never regresses a key
     (stale versions lose), so re-delivery and late arrival stay idempotent.
+
+    ``writer_id`` namespaces the cursor/last_batch checkpoint keys so
+    concurrent writers over DISJOINT source partitions never consume each
+    other's window cursor (plans/checkpoint.py multi-writer).
     """
     t0 = time.time()
     timings: dict[str, float] = {}
@@ -150,7 +155,7 @@ def apply_batch(
     hwm_before = get_hwm_map(table)
     # cursor never regresses even when an unordered stream delivers an
     # older window after a newer one
-    cursor_after = max(batch.hi, int(table.properties.get("cursor_seq", -1)))
+    cursor_after = max(batch.hi, get_cursor(table, writer_id))
 
     bounded = events.filter(
         (F.col("event_seq") > F.lit(batch.lo)) & (F.col("event_seq") <= F.lit(batch.hi))
@@ -180,7 +185,9 @@ def apply_batch(
         p, mx = int(r["source_partition"]), int(r["max_seq"])
         hwm_after[p] = max(hwm_after.get(p, -1), mx)
 
-    props = checkpoint_properties(hwm_after, cursor_seq=cursor_after, last_batch=batch.index)
+    props = checkpoint_properties(
+        hwm_after, cursor_seq=cursor_after, last_batch=batch.index, writer_id=writer_id
+    )
 
     if rows_in - rows_skipped == 0:
         snap = table.commit_properties(props, expected_version=planned_version)

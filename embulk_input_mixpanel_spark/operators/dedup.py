@@ -133,6 +133,71 @@ def _token_array(text_col: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs before explosion-heavy work.
+
+    A small corpus file often arrives as 1-2 scan partitions; the shingle
+    or token explosion then runs on a fraction of the cluster. One cheap
+    round-robin shuffle of the (small) input unlocks full parallelism for
+    the expensive downstream expansion. No-op when the scan is already at
+    least as wide as the default parallelism (the 100 TB case).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _raw_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Word n-gram shingle explosion (with per-doc repeats): (id, shingle).
+
+    Built as transform over index range -> concat_ws of n consecutive
+    tokens; explode. All codegen. Two load-bearing plan details:
+
+    - the token array is materialized in its own projection BEFORE the
+      lambda references it — inlined, the regex split would re-run per
+      element_at lookup (n per shingle), a measured ~2x slowdown;
+    - the explosion is the expensive scan, so consumers shape the
+      pipeline so it runs ONCE (posting-list round-trip with
+      shuffle-stage reuse), never once per join side.
+    """
+    step = _rebalance(df).select(
+        F.col(id_col).alias("id"), _token_array(text_col).alias("_toks")
+    )
+    tc = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tc) - n, F.lit(-1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(tc, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return step.select("id", F.explode(sh).alias("shingle"))
+
+
+def shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Per-shingle posting lists: (shingle, ids array of distinct docs).
+
+    ONE shuffle keyed by shingle gives dedup (collect_set) AND the df-cap
+    (filter on posting size) in the same aggregation — no separate
+    hot-shingle count pass, no anti-join, no second explosion of the
+    corpus. Downstream consumers branch off this frame and Spark reuses
+    its shuffle map stage across the branches.
+    """
+    posting = (
+        _raw_shingles(df, text_col, id_col, n)
+        .groupBy("shingle")
+        .agg(F.collect_set("id").alias("ids"))
+    )
+    if max_shingle_docs is not None:
+        posting = posting.filter(F.size("ids") <= max_shingle_docs)
+    return posting
+
+
 def shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -142,26 +207,15 @@ def shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built as transform over index range -> concat_ws of n consecutive
-    tokens; explode; distinct. All codegen.
-
-    ``max_shingle_docs`` applies the df-cap here so every consumer
-    (exact Jaccard, MinHash, LSH rescore) sees the same capped universe.
+    ``max_shingle_docs`` applies the df-cap so every consumer (exact
+    Jaccard, MinHash, LSH rescore) sees the same capped universe; the cap
+    rides the posting-list aggregation (:func:`shingle_postings`).
     """
-    toks = _token_array(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    if max_shingle_docs is None:
+        return _raw_shingles(df, text_col, id_col, n).distinct()
+    return shingle_postings(df, text_col, id_col, n, max_shingle_docs).select(
+        F.explode("ids").alias("id"), "shingle"
     )
-    out = (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
-    if max_shingle_docs is not None:
-        hot = out.groupBy("shingle").count().filter(F.col("count") > max_shingle_docs)
-        out = out.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    return out
 
 
 def _jaccard_from_intersections(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
@@ -189,16 +243,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jac >= threshold).
 
-    The shingle self-join is quadratic in per-shingle document frequency;
-    the df-cap (default 1000) bounds the hot-key blowup. Exact baseline —
+    Pair generation is quadratic in per-shingle document frequency; the
+    df-cap (default 1000) bounds the hot-key blowup. Exact baseline —
     :func:`jaccard_pairs_lsh` is the linear-cost path at scale.
+
+    Plan shape: ONE corpus explosion -> posting lists (one shuffle that
+    also applies dedup + df-cap) -> intra-posting pair expansion (never a
+    self-JOIN of the exploded stream: the posting shuffle is computed once
+    and reused by both the sizes and the intersection branches).
     """
-    sh = shingles(df, text_col, id_col, n, max_shingle_docs=max_shingle_docs)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    posting = shingle_postings(df, text_col, id_col, n, max_shingle_docs)
+    sizes = (
+        posting.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("sz"))
+    )
     inter = (
-        a.join(b, "shingle")
+        posting.filter(F.size("ids") >= 2)  # singletons produce no pairs
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
@@ -265,26 +328,42 @@ def jaccard_pairs_lsh(
 
     The 100 TB dedup path: candidate generation is linear in corpus size
     (one groupBy for signatures + one bucketed self-join), and the exact
-    intersection join touches only candidate pairs instead of the full
-    shingle self-join. With k=24, n_bands=8 (r=3), a pair at jaccard 0.85
-    is missed with probability (1 - 0.85^3)^8 ~ 5e-4; the sf testdata's
+    re-score touches only candidate pairs instead of the full shingle
+    self-join. With k=24, n_bands=8 (r=3), a pair at jaccard 0.85 is
+    missed with probability (1 - 0.85^3)^8 ~ 5e-4; the sf testdata's
     near-dup clusters sit at j >= 0.89 and are all recovered (verified
     against the brute-force oracle at sf0.001/0.01/0.1).
+
+    Plan shape: ONE corpus explosion -> posting lists (dedup + df-cap in
+    one shuffle) -> ONE per-doc aggregation computing BOTH the shingle
+    set and all k minhash components; the exact re-score then joins the
+    small candidate set back to the per-doc shingle arrays and intersects
+    them in-row (array_intersect, pure codegen) — the corpus is never
+    exploded or self-joined again.
     """
     sh = shingles(df, text_col, id_col, n, max_shingle_docs=max_shingle_docs)
-    sig = minhash_from_shingles(sh, k=k, portable=portable)
-    cand = lsh_candidate_pairs(sig, k=k, n_bands=n_bands)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    # candidates are a small fraction of n^2 — broadcast them into the
-    # shingle stream so the intersection count never shuffles the corpus
-    inter = (
-        sh.select(F.col("id").alias("id_a"), "shingle")
-        .join(F.broadcast(cand), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    base = base31("shingle", portable)
+    hs = _derived(base, k)
+    perdoc = sh.groupBy("id").agg(
+        F.collect_set("shingle").alias("shs"),
+        *[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hs)],
     )
-    return _jaccard_from_intersections(inter, sizes, threshold)
+    cand = lsh_candidate_pairs(perdoc.drop("shs"), k=k, n_bands=n_bands)
+    a = perdoc.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = perdoc.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.size("shs_a") + F.size("shs_b") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(
@@ -297,7 +376,7 @@ def simhash(
     """SimHash: per-bit majority vote of token hashes (bit j of base31)."""
     if not 0 < bits <= 31:
         raise ValueError(f"bits must be in 1..31, got {bits}")
-    toks = df.select(
+    toks = _rebalance(df).select(
         F.col(id_col).alias("id"), F.explode(_token_array(text_col)).alias("tok")
     )
     h = base31("tok", portable)

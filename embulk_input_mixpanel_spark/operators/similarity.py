@@ -36,6 +36,16 @@ def _to_double(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Widen narrow inputs before fold-heavy vector work (a small corpus
+    file often scans as 1 partition, serializing the per-row dot-product
+    folds). No-op at real scale; see operators/dedup.py::_rebalance."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -60,7 +70,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(vec_col).alias("_qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv"))
+    c = _rebalance(corpus).select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv"))
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
@@ -108,6 +118,7 @@ def lsh_bucket_candidates(
     """
     planes = hyperplanes(dim, n_planes, seed)
 
+    corpus = _rebalance(corpus)
     v = _to_double(vec_col)
     bits = [
         F.when(
@@ -186,6 +197,7 @@ def neardup_pairs(
     Brute-force all-pairs — correct baseline; use lsh_bucket_candidates to
     pre-filter at scale (pairs ~ O(n^2) otherwise).
     """
+    corpus = _rebalance(corpus)
     a = corpus.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb"))
     return (
@@ -217,7 +229,7 @@ def ivf_assign(
     cent = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), _to_double(vec_col).alias("_cv")
     )
-    v = corpus.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("_v"))
+    v = _rebalance(corpus).select(F.col(id_col).alias("id"), _to_double(vec_col).alias("_v"))
     scored = F.broadcast(cent).join(v).select(
         "id",
         "centroid_id",

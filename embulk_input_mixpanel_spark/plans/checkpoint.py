@@ -23,6 +23,14 @@ A crash between data write and snapshot swap leaves the old snapshot
 current; the re-run re-applies the batch against unchanged state, and
 row-level HWM + latest-wins make that idempotent (exactly-once observable
 effect).
+
+Multi-writer: a ``writer_id`` namespaces the cursor/last_batch keys
+(``cursor_seq:<id>``), so writers ingesting DISJOINT source-partition sets
+never plan away each other's windows; the shared ``hwm`` map stays
+correct because each writer only advances its own partitions and every
+commit is recomputed against a fresh snapshot under the optimistic
+anchor + O_EXCL lock (sources/lake.py). The hwm/cursor keys still commit
+atomically with the data.
 """
 
 from __future__ import annotations
@@ -39,21 +47,29 @@ def get_hwm_map(table: LakeTable) -> dict[int, int]:
     return {int(k): int(v) for k, v in raw.items()}
 
 
-def get_cursor(table: LakeTable) -> int:
-    return int(table.properties.get("cursor_seq", -1))
+def _key(base: str, writer_id: str) -> str:
+    return f"{base}:{writer_id}" if writer_id else base
 
 
-def get_last_batch(table: LakeTable) -> int:
-    return int(table.properties.get("last_batch", -1))
+def get_cursor(table: LakeTable, writer_id: str = "") -> int:
+    return int(table.properties.get(_key("cursor_seq", writer_id), -1))
+
+
+def get_last_batch(table: LakeTable, writer_id: str = "") -> int:
+    return int(table.properties.get(_key("last_batch", writer_id), -1))
 
 
 def checkpoint_properties(
-    hwm_map: dict[int, int], cursor_seq: int, last_batch: int, extra: dict[str, Any] | None = None
+    hwm_map: dict[int, int],
+    cursor_seq: int,
+    last_batch: int,
+    extra: dict[str, Any] | None = None,
+    writer_id: str = "",
 ) -> dict[str, Any]:
     props = {
         "hwm": {str(k): int(v) for k, v in sorted(hwm_map.items())},
-        "cursor_seq": int(cursor_seq),
-        "last_batch": int(last_batch),
+        _key("cursor_seq", writer_id): int(cursor_seq),
+        _key("last_batch", writer_id): int(last_batch),
     }
     if extra:
         props.update(extra)

@@ -76,6 +76,7 @@ def replay(
     run_id: str = "",
     lineage: bool = True,
     apply_kwargs: dict | None = None,
+    writer_id: str = "",
 ) -> ReplayReport:
     """Apply all events with ``cursor < event_seq <= upper_bound``.
 
@@ -88,8 +89,10 @@ def replay(
     - ``apply_kwargs``: per-batch options forwarded to
       :func:`operators.apply.apply_batch` — typically
       ``IngestConfig.apply_kwargs()`` (promoted/reserved keys, evolution).
+    - ``writer_id``: checkpoint namespace for concurrent writers over
+      disjoint source-partition sets (plans/checkpoint.py multi-writer).
     """
-    cursor = get_cursor(table)
+    cursor = get_cursor(table, writer_id)
     if upper_bound <= cursor:
         logger.info("nothing to do: upper_bound %d <= cursor %d", upper_bound, cursor)
         return ReplayReport()
@@ -101,7 +104,9 @@ def replay(
     def _apply_one(batch):
         if fail_injector is not None:
             fail_injector(batch.index)
-        return apply_batch(table, events, batch, **(apply_kwargs or {}))
+        return apply_batch(
+            table, events, batch, writer_id=writer_id, **(apply_kwargs or {})
+        )
 
     for i, batch in enumerate(planner):
         if max_batches is not None and i >= max_batches:
