@@ -995,6 +995,48 @@ _IVF_ASSIGN_SQL = """
 """
 
 
+@_q(
+    "ivf_kmeans_refined",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign0 AS ({_IVF_ASSIGN_SQL}),
+    comp AS (
+      SELECT a.cluster, generate_subscripts(e.v, 1) AS d, unnest(e.v) AS x
+      FROM assign0 a JOIN e ON e.vec_id = a.id
+    ),
+    means AS (
+      SELECT cluster, d,
+             CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS m
+      FROM comp GROUP BY cluster, d
+    ),
+    cent1 AS (
+      SELECT cluster AS centroid_id, list(m ORDER BY d) AS cv
+      FROM means GROUP BY cluster
+    ),
+    scored AS (
+      SELECT e.vec_id AS id, c.centroid_id,
+             round(list_cosine_similarity(e.v, c.cv), 4) AS cos_r
+      FROM e CROSS JOIN cent1 c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY cos_r DESC, centroid_id ASC) AS rn
+      FROM scored
+    )
+    SELECT id, centroid_id AS cluster, cos_r AS centroid_cos
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ivf_kmeans_refined_q(spark, sf_dir):
+    """One Lloyd iteration of the IVF partitioner: decimal-exact
+    element-wise centroid means (order-independent -> engine-identical),
+    then re-assignment via broadcast cross-score + partial-agg argmax
+    (operators/similarity.py::ivf_refine_assign)."""
+    from .operators.similarity import ivf_refine_assign
+
+    return ivf_refine_assign(load(spark, sf_dir, "embeddings"), n_centroids=8)
+
+
 @_q("ivf_assign", _IVF_ASSIGN_SQL)
 def ivf_assign_q(spark, sf_dir):
     """IVF partition step: nearest-centroid assignment (the ANN scale
@@ -1044,6 +1086,92 @@ def ivf_topk_q(spark, sf_dir):
 
     return ivf_topk(
         load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=3, n_centroids=8, n_probe=2
+    )
+
+
+@_q(
+    "session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL 6 HOUR OR
+                       lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, sess_id
+    """,
+)
+def session_windows_q(spark, sf_dir):
+    """Session windows (gap 6h) per user — Spark's native session_window
+    merge-on-gap aggregation; the oracle reproduces the same sessions via
+    gaps-and-islands SQL. The streaming analog (W8-beyond: the reference
+    has no sessionization) shares the operator via withWatermark +
+    session_window."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("sw"))
+        .agg(F.max("ts").alias("last_ts"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
+@_q(
+    "events_semi_building",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events e
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+    GROUP BY event_type
+    """,
+)
+def events_semi_building_q(spark, sf_dir):
+    """LEFT SEMI join (EXISTS pushdown): events from a dimension subset —
+    the membership-filter shape CDC residual planning uses. Broadcast the
+    filtered dim: no fact shuffle."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "events_anti_building",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+    GROUP BY event_type
+    """,
+)
+def events_anti_building_q(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS): the complement membership filter
+    (orphan detection / residual-key subtraction at row scale)."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
     )
 
 

@@ -193,6 +193,25 @@ def test_lsh_ann_buckets_similar_vectors(spark):
     assert (0, 100) not in pairs      # opposite vectors don't
 
 
+def test_ivf_kmeans_refinement_improves_quantization(spark):
+    """One Lloyd iteration must not worsen the assignment objective
+    (mean centroid cosine) and keeps one row per vector."""
+    from pyspark.sql import functions as F
+
+    from embulk_input_mixpanel_spark.operators.similarity import (
+        ivf_assign,
+        ivf_refine_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = ivf_assign(emb, 8)
+    refined = ivf_refine_assign(emb, 8)
+    assert refined.count() == emb.count()
+    m0 = seed.agg(F.avg("centroid_cos")).first()[0]
+    m1 = refined.agg(F.avg("centroid_cos")).first()[0]
+    assert m1 >= m0
+
+
 def test_multimodal_stub_plumbing(spark):
     media = synth_media(spark, 50, payload_bytes=1024)
     feats = extract_features_stub(media, feature_dim=4)

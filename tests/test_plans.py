@@ -70,9 +70,10 @@ def test_scale_path_queries_use_only_hash_joins(spark):
 
 
 def test_ivf_assign_is_partial_aggregate_not_window(spark):
-    plan = _plan(spark, "ivf_assign")
-    assert "partial_max" in plan  # map-side argmax combine
-    assert "Window" not in plan
+    for name in ["ivf_assign", "ivf_kmeans_refined"]:
+        plan = _plan(spark, name)
+        assert "partial_max" in plan, name  # map-side argmax combine
+        assert "Window" not in plan, name
 
 
 def test_wholestage_codegen_covers_scan_queries(spark):
