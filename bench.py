@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "broadcast_dim_join",
     "latest_wins_per_user",
     "watermark_skip_metrics",
+    "session_windows",
     "doc_fingerprint",
     "dedup_exact_docs",
     "quality_score",

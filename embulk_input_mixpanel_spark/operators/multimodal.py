@@ -28,6 +28,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "synth_media",
     "extract_features_stub",
+    "resize_stub",
+    "frame_sample_stub",
     "decode_real",
 ]
 
@@ -109,6 +111,105 @@ def extract_features_stub(
             )
 
     return media.repartition(n_parts).mapInPandas(gen, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(
+    media: DataFrame,
+    max_edge: int = 256,
+    target_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Aspect-preserving resize, codec STUBBED: real output dims (the
+    actual resize arithmetic a production decoder would use) + a
+    deterministic fake payload whose size scales with the output area, so
+    downstream byte-budget logic is exercised honestly. mapInPandas,
+    byte-bounded batches — identical plumbing to a real PIL/libav resize.
+    """
+    avg_row = media.select(F.avg(F.length("payload"))).first()[0] or 4096
+    n_parts = max(int((media.count() * avg_row) // target_batch_bytes) + 1, 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (max_edge / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            ow = (pdf["width"] * scale).astype("int32").clip(lower=1)
+            oh = (pdf["height"] * scale).astype("int32").clip(lower=1)
+            # fake payload ∝ output area (a real resize re-encodes; the
+            # byte-budget shape is what downstream stages depend on)
+            payload = [
+                (p[: max(int(len(p) * (w * h) / max(pw * ph, 1)), 16)] if p else b"")
+                for p, w, h, pw, ph in zip(
+                    pdf["payload"], ow, oh, pdf["width"], pdf["height"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "out_width": ow,
+                    "out_height": oh,
+                    "payload": payload,
+                }
+            )
+
+    return media.repartition(n_parts).mapInPandas(gen, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample_stub(
+    media: DataFrame,
+    n_frames: int = 4,
+    fps_ms: int = 40,
+    target_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Uniform frame sampling from video payloads, codec STUBBED: emits
+    ``n_frames`` rows per video (1 -> N mapInPandas expansion — the shape
+    a real demuxer produces) with deterministic fake frame bytes sliced
+    from the payload and real sample timestamps. Non-video mimes pass
+    through with zero rows (a decoder would skip them the same way)."""
+    avg_row = media.select(F.avg(F.length("payload"))).first()[0] or 4096
+    n_parts = max(int((media.count() * avg_row) // target_batch_bytes) + 1, 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for mid, mime, p in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                if not (mime or "").startswith("video/") or not p:
+                    continue
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * fps_ms)
+                    out["frame"].append(bytes(p[i * step : i * step + step]))
+            yield pd.DataFrame(out).astype(
+                {"media_id": "int64", "frame_idx": "int32", "ts_ms": "int64"}
+            ) if out["media_id"] else pd.DataFrame(
+                {"media_id": pd.Series(dtype="int64"),
+                 "frame_idx": pd.Series(dtype="int32"),
+                 "ts_ms": pd.Series(dtype="int64"),
+                 "frame": pd.Series(dtype=object)}
+            )
+
+    return media.repartition(n_parts).mapInPandas(gen, FRAME_SCHEMA)
 
 
 def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover - stub

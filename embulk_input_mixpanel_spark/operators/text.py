@@ -13,12 +13,31 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "BPE_ISH_PATTERN",
+    "bpe_ish_token_count",
     "stopword_ratio",
     "quality_features",
     "lang_scores",
     "lang_id",
     "rolling_fingerprint",
 ]
+
+# GPT2-style pre-tokenizer, simplified to the RE2-compatible subset (no
+# lookahead) so Spark (Java regex) and DuckDB (RE2) count identically:
+# a token is an optionally space-prefixed letter run, digit run, or
+# punctuation run; residual whitespace runs also count as one token each
+# (the \s+(?!\S) tail-merge of the original needs lookahead and is
+# dropped).
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Subword-style token count: number of BPE-ish pre-token matches.
+
+    Pure JVM regexp_count — the scan-speed proxy for 'how many BPE tokens
+    would this doc cost' that a training-data pipeline budgets with."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN)).cast("long")
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 

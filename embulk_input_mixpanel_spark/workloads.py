@@ -458,6 +458,29 @@ _STOPWORDS = ("the", "a", "and", "of", "to")
 
 
 @_q(
+    "bpe_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark, sf_dir):
+    """Token counting, BPE-ish tier: GPT2-style pre-tokenizer regex
+    (RE2-compatible subset so both engines count identically) next to the
+    whitespace count (operators/text.py::bpe_ish_token_count)."""
+    from .operators.text import bpe_ish_token_count, token_count
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        token_count("text").cast("long").alias("n_ws_tokens"),
+    )
+
+
+@_q(
     "quality_score",
     f"""
     SELECT doc_id, n_tokens,

@@ -16,6 +16,8 @@ from embulk_input_mixpanel_spark.operators.dedup import (
 )
 from embulk_input_mixpanel_spark.operators.multimodal import (
     extract_features_stub,
+    frame_sample_stub,
+    resize_stub,
     synth_media,
 )
 from embulk_input_mixpanel_spark.operators.similarity import brute_force_topk, lsh_bucket_candidates
@@ -222,3 +224,30 @@ def test_multimodal_stub_plumbing(spark):
     # deterministic: same input -> same features
     again = {r["media_id"]: r["feature"] for r in extract_features_stub(media, feature_dim=4).collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_resize_dims_and_bytes(spark):
+    media = synth_media(spark, 40, payload_bytes=2048)
+    out = resize_stub(media, max_edge=128).collect()
+    assert len(out) == 40
+    dims = {r["media_id"]: (r["out_width"], r["out_height"]) for r in out}
+    src = {r["media_id"]: (r["width"], r["height"]) for r in media.collect()}
+    for mid, (ow, oh) in dims.items():
+        w, h = src[mid]
+        scale = min(128 / max(w, h), 1.0)  # aspect-preserving, never upscaled
+        assert (ow, oh) == (max(int(w * scale), 1), max(int(h * scale), 1))
+    assert all(0 < len(r["payload"]) <= 2048 for r in out)
+
+
+def test_multimodal_frame_sampling_expands_videos_only(spark):
+    media = synth_media(spark, 30, payload_bytes=1024)
+    n_videos = media.filter("mime = 'video/mp4'").count()
+    frames = frame_sample_stub(media, n_frames=4, fps_ms=40).collect()
+    assert len(frames) == n_videos * 4
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for rows in by_media.values():
+        assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+        assert sorted(r["ts_ms"] for r in rows) == [0, 40, 80, 120]
+        assert all(len(r["frame"]) > 0 for r in rows)

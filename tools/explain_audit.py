@@ -26,6 +26,9 @@ AUDIT = [
     "topk_revenue_orders",
     "q5_region_revenue",
     "q6_selective_revenue",
+    "session_windows",
+    "events_semi_building",
+    "events_anti_building",
     # training-data family: the scale paths whose plans carry the 100 TB story
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -36,6 +39,7 @@ AUDIT = [
     "hyperplane_lsh_candidates",
     "embedding_neardup_lsh",
     "ivf_assign",
+    "ivf_kmeans_refined",
     "ivf_topk",
 ]
 
