@@ -293,8 +293,15 @@ def minhash_signatures(
 def lsh_candidate_pairs(signatures: DataFrame, k: int = 16, n_bands: int = 4) -> DataFrame:
     """Banded LSH: pairs sharing at least one band bucket (id_a < id_b).
 
-    One posexplode + ONE self-equi-join on (band, bucket-key) — not a join
-    per band — so the plan is a single shuffle regardless of n_bands.
+    Posexplode band keys -> ONE (band, key) aggregation into per-bucket id
+    lists -> in-row pair expansion. A self-equi-join would compute the
+    signature subtree once per side (Spark does not dedupe identical
+    logical subtrees pre-AQE); the bucket-list shape computes it ONCE and
+    shuffles each (band, id) exactly once. Per-bucket expansion is
+    quadratic in bucket size — bounded by construction when bits-per-band
+    tracks log2(corpus) (see similarity.lsh_bucket_candidates note); a
+    degenerate mega-bucket means the banding is mis-sized, not that the
+    join strategy should differ.
     """
     per = k // n_bands
     keys = F.array(
@@ -304,11 +311,15 @@ def lsh_candidate_pairs(signatures: DataFrame, k: int = 16, n_bands: int = 4) ->
         ]
     )
     e = signatures.select(F.col("id"), F.posexplode(keys).alias("band", "bk"))
+    bucket = (
+        e.groupBy("band", "bk")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        e.alias("x")
-        .join(e.alias("y"), ["band", "bk"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        bucket.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -432,15 +443,20 @@ def simhash_pairs_banded(sig: DataFrame, bits: int = 24, max_hamming: int = 1) -
         w = width if s < n_seg - 1 else bits - lo  # last segment takes the remainder
         segs.append(F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1)))
     e = sig.select("id", "simhash", F.posexplode(F.array(*segs)).alias("seg", "sv"))
+    bucket = (
+        e.groupBy("seg", "sv")
+        .agg(F.collect_set(F.struct("id", "simhash")).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
     cand = (
-        e.alias("x")
-        .join(e.alias("y"), ["seg", "sv"])
-        .filter(F.col("x.id") < F.col("y.id"))
+        bucket.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
         )
         .distinct()
     )

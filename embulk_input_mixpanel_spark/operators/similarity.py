@@ -142,11 +142,18 @@ def lsh_bucket_candidates(
         *[F.concat(*bits[b * per_band : (b + 1) * per_band]) for b in range(n_bands)]
     )
     e = corpus.select(F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bk"))
+    # bucket-list shape instead of a self-equi-join: the (expensive) plane
+    # signature fold runs ONCE, not once per join side (see
+    # dedup.lsh_candidate_pairs for the rationale)
+    bucket = (
+        e.groupBy("band", "bk")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        e.alias("x")
-        .join(e.alias("y"), ["band", "bk"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        bucket.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
