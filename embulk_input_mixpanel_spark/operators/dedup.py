@@ -57,6 +57,8 @@ __all__ = [
     "normalize_text",
     "fingerprint",
     "dedup_exact",
+    "dedup_keep_best",
+    "connected_components",
     "shingles",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -126,6 +128,93 @@ def dedup_exact(
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    quality_col: Column | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Exact dedup with a quality-aware keeper policy: per fingerprint,
+    keep the document maximizing (quality, then lowest id).
+
+    Same single-shuffle shape as :func:`dedup_exact` — the argmax is a
+    max-of-struct DeclarativeAggregate (map-side partial reduction; the
+    operators/merge.py pattern), so a mega-duplicate group never floods
+    one reducer.
+    """
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    picked = F.max(
+        F.struct(
+            F.col("_q").alias("q"),
+            (-F.col(id_col)).alias("negid"),
+            F.col(id_col).alias("kid"),
+        )
+    ).alias("_w")
+    return (
+        df.select(F.col(id_col), fingerprint(text_col, portable).alias("fp"), q.alias("_q"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), picked)
+        .select(
+            "fp",
+            "n_docs",
+            F.col("_w.kid").alias("keeper"),
+            F.col("_w.q").alias("keeper_quality"),
+        )
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 25,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Min-label connected components over an undirected pair graph:
+    (id, component) where component = smallest id reachable.
+
+    The cluster step of near-dup dedup: LSH pairs say "a ~ b"; dedup must
+    collapse whole CLUSTERS to one representative, which is exactly the
+    connected component. Iterative label propagation: each round joins the
+    symmetric edge list with current labels, takes the per-vertex min, and
+    stops when no label changed (rounds <= graph diameter; near-dup
+    clusters are shallow). Each round is one shuffle-join + one
+    aggregation; labels are localCheckpoint'ed so lineage stays O(1) per
+    round instead of compounding — the standard Spark iterative-algorithm
+    discipline (at cluster scale the checkpoint goes to reliable storage).
+
+    Label propagation is not SQL-expressible in one query; the oracle
+    replays it as a DuckDB recursive CTE (transitive closure + min), which
+    is exact for the same edge set.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
 def _token_array(text_col: str | Column) -> Column:

@@ -649,6 +649,79 @@ def neardup_docs_lsh_q(spark, sf_dir):
     )
 
 
+@_q(
+    "neardup_components",
+    f"""
+    WITH RECURSIVE sh AS ({_shingles_sql()}),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.85
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id, min(label) AS component FROM reach GROUP BY id
+    """,
+)
+def neardup_components_q(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (min-label propagation)
+    over the LSH near-dup pair graph — the collapse-to-representative
+    step of cluster dedup. Spark runs iterative label propagation
+    (operators/dedup.py::connected_components); the oracle replays it as
+    a recursive-CTE transitive closure over the same edges."""
+    from .operators.dedup import connected_components, jaccard_pairs_lsh
+
+    pairs = jaccard_pairs_lsh(
+        load(spark, sf_dir, "documents"), threshold=0.85, n=3, k=24, n_bands=8,
+        max_shingle_docs=_DF_CAP, portable=False,
+    )
+    return connected_components(pairs)
+
+
+@_q(
+    "dedup_keep_best",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, {_FP} AS fp,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fp
+                                   ORDER BY q DESC, doc_id ASC) AS rn
+      FROM scored
+    )
+    SELECT r.fp, c.n_docs, r.doc_id AS keeper, r.q AS keeper_quality
+    FROM ranked r JOIN (SELECT fp, count(*) AS n_docs FROM scored GROUP BY fp) c
+      ON c.fp = r.fp
+    WHERE r.rn = 1
+    """,
+)
+def dedup_keep_best_q(spark, sf_dir):
+    """Exact dedup with a quality-aware keeper (longest doc by token
+    count, ties to lowest id) via max-of-struct partial aggregation
+    (operators/dedup.py::dedup_keep_best)."""
+    from .operators.dedup import dedup_keep_best
+    from .operators.text import token_count
+
+    return dedup_keep_best(
+        load(spark, sf_dir, "documents"),
+        quality_col=token_count("text").cast("long"),
+        portable=True,
+    )
+
+
 _MINHASH_K = 8
 
 

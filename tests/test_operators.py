@@ -4,7 +4,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from embulk_input_mixpanel_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
+    dedup_keep_best,
     jaccard_pairs_lsh,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -113,6 +115,37 @@ def test_hot_shingle_df_cap_bounds_pair_blowup(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, n)}
     via_lsh = jaccard_pairs_lsh(df, threshold=0.8, n=3, max_shingle_docs=100).collect()
     assert {(r["id_a"], r["id_b"]) for r in via_lsh} == {(0, n)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (needs >1 propagation round), a 2-node island, and
+    a vertex-ordering trap (high id bridging low ids) all resolve to the
+    min-reachable-id component."""
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40),   # chain 10-20-30-40
+         (100, 7),                        # island with reversed magnitude
+         (50, 60)],
+        ["id_a", "id_b"],
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 10,
+                   7: 7, 100: 7, 50: 50, 60: 50}
+
+
+def test_dedup_keep_best_prefers_quality_then_low_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"),
+         (3, "same text here extra words"),  # different fp
+         (9, "a b"), (4, "a  b")],  # whitespace-normalized dup, equal quality
+        ["doc_id", "text"],
+    )
+    from embulk_input_mixpanel_spark.operators.text import token_count
+
+    out = {r["keeper"]: (r["n_docs"], r["keeper_quality"]) for r in
+           dedup_keep_best(df, token_count("text").cast("long")).collect()}
+    assert out[1] == (2, 3)   # equal quality -> lowest id keeps
+    assert out[3] == (1, 5)
+    assert out[4] == (2, 2)   # tie on quality 2 -> id 4 over 9
 
 
 def test_minhash_portable_matches_duckdb_formula(spark, docs):
