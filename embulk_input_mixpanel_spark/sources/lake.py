@@ -268,6 +268,28 @@ class LakeTable:
     def bucket_expr(self, *key_cols: str) -> Column:
         return bucket_of(self.num_buckets, *key_cols)
 
+    def lookup(self, key: dict[str, Any], version: int | None = None) -> DataFrame:
+        """Point lookup: open ONLY the key's bucket, then filter to the key.
+
+        ``key`` maps column -> value in BUCKETING KEY ORDER (the same
+        column order the writer hashed — for the CDC table that is
+        (repo, path)). The bucket id is computed with the identical
+        xxhash64 expression the writer used, so a lookup touches
+        1/num_buckets of the table's files regardless of table size —
+        the serving-path analog of Iceberg bucket-transform pruning. The
+        residual equality predicates push into the single-bucket parquet
+        scan.
+        """
+        row = (
+            self.spark.range(1)
+            .select(bucket_of(self.num_buckets, *[F.lit(v) for v in key.values()]).alias("b"))
+            .first()
+        )
+        df = self.read(version=version, buckets=[int(row["b"])])
+        for c, v in key.items():
+            df = df.filter(F.col(c) == F.lit(v))
+        return df
+
     # --------------------------------------------------------------- commit
 
     def commit_rewrite(

@@ -89,6 +89,25 @@ def test_schema_evolution_old_files_read_null(spark, tmp_table_dir):
         assert by_v[2]["extra"] == "hello"
 
 
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_table_dir):
+    """lookup() must agree with a full-scan filter while opening only the
+    key's bucket files (the serving path of the bucket transform)."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=8)
+    rows = [(f"r{i}", f"p{i}", i) for i in range(50)]
+    df = _with_bucket(spark.createDataFrame(rows, SCHEMA), 8)
+    touched = sorted(r[0] for r in df.select("bucket").distinct().collect())
+    t.commit_rewrite(df, touched)
+
+    got = t.lookup({"repo": "r7", "path": "p7"}).collect()
+    assert [(r["repo"], r["path"], r["v"]) for r in got] == [("r7", "p7", 7)]
+    # files opened = exactly the one bucket's files, strictly fewer than all
+    snap = t.snapshot()
+    opened = t.lookup({"repo": "r7", "path": "p7"}).inputFiles()
+    assert 0 < len(opened) < len(snap.all_files())
+    # a key that never existed: empty, still single-bucket
+    assert t.lookup({"repo": "nope", "path": "nope"}).count() == 0
+
+
 def test_commit_properties_only(spark, tmp_table_dir):
     t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=2)
     v0_files = t.snapshot().files
