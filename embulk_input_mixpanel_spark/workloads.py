@@ -1186,6 +1186,83 @@ def ivf_topk_q(spark, sf_dir):
 
 
 @_q(
+    "rollup_daily_by_type",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+    """,
+)
+def rollup_daily_by_type_q(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (day -> event_type -> grand total)
+    — one pass, Spark expands grouping sets without re-scanning."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "user_running_value",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq_in_user
+    FROM events
+    """,
+)
+def user_running_value_q(spark, sf_dir):
+    """Per-user cumulative sum + sequence number (decimal-exact running
+    sum so prefix order, not float association, defines the value). Window
+    ops shuffle the full partition to one reducer — correct tool for
+    per-ENTITY prefix semantics, deliberately NOT used for latest-wins."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).cast("long").alias("seq_in_user"),
+    )
+
+
+@_q(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_q(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark percentile
+    == DuckDB quantile_cont bit-for-bit on this data; at 100 TB the same
+    query swaps to approx_percentile with a documented error bound)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+@_q(
     "session_windows",
     """
     WITH marked AS (
