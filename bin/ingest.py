@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--reserved-keys", default="",
                     help="comma-separated system prop keys: never promoted, "
                          "excluded from props_rest (KNOWN_KEYS analog)")
+    ap.add_argument("--writer-id", default="",
+                    help="checkpoint namespace for concurrent writers over "
+                         "disjoint source partitions (cursor_seq:<id>)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -91,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         table, events, upper_bound=args.upper_bound,
         slice_size=args.slice_size, backfill=args.backfill,
         apply_kwargs={"reserved_keys": reserved} if reserved else None,
+        writer_id=args.writer_id,
     )
     summary = {
         "batches": len(report.batches),

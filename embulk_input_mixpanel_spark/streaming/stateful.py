@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["windowed_event_counts", "running_hwm_stream", "HWM_STATE_SCHEMA"]
+__all__ = [
+    "windowed_event_counts",
+    "sessionized_event_counts",
+    "running_hwm_stream",
+    "HWM_STATE_SCHEMA",
+]
 
 
 def windowed_event_counts(
@@ -53,6 +58,34 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("win.start").alias("win_start"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def sessionized_event_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows: merge-on-gap per key, watermark-closed.
+
+    The streaming twin of the batch ``session_windows`` query
+    (workloads.py): Spark's session-window state store merges events
+    arriving in DIFFERENT micro-batches into one session as long as they
+    fall within ``gap``, and emits a session exactly once after the
+    watermark passes its close. State per open session is O(1).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
             key_col,
             "n_events",
         )

@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 
 from embulk_input_mixpanel_spark.streaming.stateful import (
     running_hwm_stream,
+    sessionized_event_counts,
     windowed_event_counts,
 )
 
@@ -80,6 +81,43 @@ def test_watermark_drops_beyond_horizon_late_row(spark, tmp_path):
             for r in _drain(spark, src, *args)}
     assert (1, "click") not in out2  # no revision: the late row never entered
     assert out2[(12, "view")] == 1
+
+
+SESS_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.StringType()),
+    ]
+)
+
+
+def test_streaming_session_merges_across_micro_batches(spark, tmp_path):
+    """An event in a LATER micro-batch that falls within the gap must
+    extend the open session (state-store merge), and sessions emit once
+    the watermark passes their close."""
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, tzinfo=UTC)  # noqa: E731
+    src, ckpt = str(tmp_path / "sess_src"), str(tmp_path / "sess_ckpt")
+    os.makedirs(src)
+    args = (SESS_SCHEMA,
+            lambda s: sessionized_event_counts(s, gap="30 minutes", watermark="1 hour"),
+            "sess_counts", ckpt, "append")
+
+    b1 = [(t(10, 0), "alice"), (t(10, 10), "alice"), (t(10, 0), "bob")]
+    spark.createDataFrame(b1, SESS_SCHEMA).write.mode("append").parquet(src)
+    out1 = _drain(spark, src, *args)
+    assert out1 == []  # all sessions still open (watermark at 09:10)
+
+    # batch 2: extends alice's session (10:25 < 10:10 + 30min) and adds a
+    # far-future event that closes everything
+    b2 = [(t(10, 25), "alice"), (t(23, 0), "carol")]
+    spark.createDataFrame(b2, SESS_SCHEMA).write.mode("append").parquet(src)
+    out2 = {r["user_id"]: r for r in _drain(spark, src, *args)}
+    # alice: ONE merged session spanning both micro-batches, 3 events
+    assert out2["alice"]["n_events"] == 3
+    assert out2["alice"]["session_start"].replace(tzinfo=UTC) == t(10, 0)
+    assert out2["alice"]["session_end"].replace(tzinfo=UTC) == t(10, 55)
+    assert out2["bob"]["n_events"] == 1
+    assert "carol" not in out2  # her session is still open at drain end
 
 
 def test_running_hwm_state_survives_restart(spark, tmp_path):
