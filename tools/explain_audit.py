@@ -29,6 +29,11 @@ AUDIT = [
     "session_windows",
     "events_semi_building",
     "events_anti_building",
+    "rollup_daily_by_type",
+    "user_running_value",
+    "value_percentiles",
+    "neardup_components",
+    "dedup_keep_best",
     # training-data family: the scale paths whose plans carry the 100 TB story
     "minhash_signatures",
     "minhash_lsh_candidates",
