@@ -270,48 +270,29 @@ def ivf_refine_assign(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iters: int = 1,
 ) -> DataFrame:
-    """One Lloyd (k-means) refinement of the IVF partitioning.
+    """Lloyd (k-means) refinement of the IVF partitioning, ``iters`` rounds.
 
-    seed assignment (:func:`ivf_assign`) -> new centroid = element-wise
-    mean of each cluster's vectors -> re-assign against the refined
-    centroids. Fully distributed: means come from a posexplode +
+    seed assignment (:func:`ivf_assign`) -> per round: new centroid =
+    element-wise mean of each cluster's vectors -> re-assign against the
+    refined centroids. Fully distributed: means come from a posexplode +
     (cluster, dim) aggregation (codegen sums), centroid arrays are rebuilt
     with sort_array(collect_list(struct(dim, mean))), and the re-assignment
     is the same broadcast cross-score + max-of-struct argmax as the seed
-    pass — no driver round-trip, no iterative lineage blowup (each
-    iteration is one job over the corpus + a k x dim side table).
+    pass — no driver round-trip; for ``iters > 1`` the assignment is
+    localCheckpoint'ed between rounds so lineage stays O(1) per round
+    (cluster-scale jobs checkpoint to reliable storage instead).
 
     Determinism (oracle parity): per-dimension sums run in DECIMAL(25,15)
     (exact, order-independent), are cast to double, then divided by the
     exact integer count — bit-identical in any engine; cosines are rounded
     to 4dp before the id-tiebroken argmax.
     """
-    assign0 = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     v = corpus.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("_v"))
-    comp = (
-        assign0.join(v, "id")
-        .select("cluster", F.posexplode("_v").alias("d", "x"))
-        .groupBy("cluster", "d")
-        .agg(
-            F.sum(F.col("x").cast("decimal(25,15)")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "cluster", "d",
-            (F.col("s").cast("double") / F.col("n")).alias("m"),
-        )
-    )
-    cent1 = comp.groupBy("cluster").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
-        ).alias("_cv")
-    ).select(F.col("cluster").alias("centroid_id"), "_cv")
-    scored = F.broadcast(cent1).join(v).select(
-        "id",
-        "centroid_id",
-        F.round(cosine(F.col("_v"), F.col("_cv")), 4).alias("cos_r"),
-    )
+    assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
     win = F.max(
         F.struct(
             F.col("cos_r").alias("c"),
@@ -319,11 +300,40 @@ def ivf_refine_assign(
             F.col("centroid_id").alias("cid"),
         )
     ).alias("_w")
-    return (
-        scored.groupBy("id")
-        .agg(win)
-        .select("id", F.col("_w.cid").alias("cluster"), F.col("_w.c").alias("centroid_cos"))
-    )
+    for i in range(iters):
+        if i > 0:
+            assign = assign.localCheckpoint(eager=True)
+        comp = (
+            assign.join(v, "id")
+            .select("cluster", F.posexplode("_v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(
+                F.sum(F.col("x").cast("decimal(25,15)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cluster", "d",
+                (F.col("s").cast("double") / F.col("n")).alias("m"),
+            )
+        )
+        cent = comp.groupBy("cluster").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("_cv")
+        ).select(F.col("cluster").alias("centroid_id"), "_cv")
+        scored = F.broadcast(cent).join(v).select(
+            "id",
+            "centroid_id",
+            F.round(cosine(F.col("_v"), F.col("_cv")), 4).alias("cos_r"),
+        )
+        assign = (
+            scored.groupBy("id")
+            .agg(win)
+            .select(
+                "id", F.col("_w.cid").alias("cluster"), F.col("_w.c").alias("centroid_cos")
+            )
+        )
+    return assign
 
 
 def ivf_topk(

@@ -245,6 +245,9 @@ def test_ivf_kmeans_refinement_improves_quantization(spark):
     m0 = seed.agg(F.avg("centroid_cos")).first()[0]
     m1 = refined.agg(F.avg("centroid_cos")).first()[0]
     assert m1 >= m0
+    # further iterations keep improving (or converge), never regress
+    m2 = ivf_refine_assign(emb, 8, iters=2).agg(F.avg("centroid_cos")).first()[0]
+    assert m2 >= m1 - 1e-9
 
 
 def test_multimodal_stub_plumbing(spark):
