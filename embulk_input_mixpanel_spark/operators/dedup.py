@@ -64,6 +64,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_from_shingles",
     "lsh_candidate_pairs",
+    "lsh_overflow_buckets",
     "jaccard_pairs_lsh",
     "simhash",
     "simhash_pairs",
@@ -171,19 +172,33 @@ def connected_components(
     max_iters: int = 25,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Min-label connected components over an undirected pair graph:
     (id, component) where component = smallest id reachable.
 
     The cluster step of near-dup dedup: LSH pairs say "a ~ b"; dedup must
     collapse whole CLUSTERS to one representative, which is exactly the
-    connected component. Iterative label propagation: each round joins the
-    symmetric edge list with current labels, takes the per-vertex min, and
-    stops when no label changed (rounds <= graph diameter; near-dup
-    clusters are shallow). Each round is one shuffle-join + one
-    aggregation; labels are localCheckpoint'ed so lineage stays O(1) per
-    round instead of compounding — the standard Spark iterative-algorithm
-    discipline (at cluster scale the checkpoint goes to reliable storage).
+    connected component. Iterative min-label propagation ACCELERATED by
+    pointer jumping (path halving): each round (a) joins the symmetric
+    edge list with current labels and takes the per-vertex min, then (b)
+    every vertex additionally adopts its current label's own label
+    (``label <- min(label, label(label))``). Step (b) roughly doubles
+    label reach per round, so convergence is O(log diameter) rounds — an
+    adversarial chain of 1M vertices converges in ~20 rounds instead of
+    1M (plain propagation is O(diameter); near-dup clusters are usually
+    shallow, but a belt must hold for pathological graphs too — same
+    family as the large-star/small-star and Hash-to-Min algorithms).
+    Each round is two shuffle joins + one aggregation; labels are
+    localCheckpoint'ed so lineage stays O(1) per round (at cluster scale
+    the checkpoint goes to reliable storage).
+
+    Safety: the pointer jump is component-preserving (a vertex's label is
+    always a vertex of its own component, so the label's label is too) and
+    labels decrease monotonically, so the fixpoint is exactly the
+    component minimum. If ``max_iters`` rounds pass without convergence
+    the function RAISES instead of returning silently-wrong labels.
+    ``stats`` (optional dict) receives {"rounds": r, "converged": bool}.
 
     Label propagation is not SQL-expressible in one query; the oracle
     replays it as a DuckDB recursive CTE (transitive closure + min), which
@@ -195,7 +210,8 @@ def connected_components(
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    rounds, changed = 0, -1
+    for rounds in range(1, max_iters + 1):
         prop = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
         )
@@ -203,6 +219,16 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump (path halving): follow one more hop through the
+        # label table itself — turns O(diameter) convergence into O(log)
+        lab2 = new.select(F.col("id").alias("_lid"), F.col("label").alias("_llab"))
+        new = (
+            new.join(lab2, new.label == lab2._lid, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("_llab", "label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -214,6 +240,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = changed == 0
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — "
+            "returning non-converged labels would be silently wrong"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
@@ -379,32 +414,78 @@ def minhash_signatures(
     return minhash_from_shingles(sh, k=k, portable=portable)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, k: int = 16, n_bands: int = 4) -> DataFrame:
+DEFAULT_MAX_BUCKET = 1000  # LSH bucket-size belt, mirrored in the oracle SQL
+
+
+def _minhash_band_keys(k: int, n_bands: int) -> Column:
+    """Band keys from mh_0..mh_{k-1} columns. k must split evenly into
+    bands — silently dropping the k % n_bands trailing components would
+    quietly weaken recall vs the caller's requested k."""
+    if k % n_bands != 0:
+        raise ValueError(
+            f"k ({k}) must be divisible by n_bands ({n_bands}); trailing "
+            "signature components would otherwise be silently dropped"
+        )
+    per = k // n_bands
+    return F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"mh_{b * per + j}").cast("string") for j in range(per)])
+            for b in range(n_bands)
+        ]
+    )
+
+
+def _lsh_buckets(signatures: DataFrame, k: int, n_bands: int) -> DataFrame:
+    keys = _minhash_band_keys(k, n_bands)
+    e = signatures.select(F.col("id"), F.posexplode(keys).alias("band", "bk"))
+    return e.groupBy("band", "bk").agg(F.collect_set("id").alias("ids"))
+
+
+def lsh_overflow_buckets(
+    signatures: DataFrame, k: int = 16, n_bands: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Monitoring twin of :func:`lsh_candidate_pairs`: the (band, bk,
+    n_ids) buckets the cap DROPPED. Empty means the banding is sized
+    right; rows here mean a degenerate signature cluster (usually masses
+    of exact/near-exact duplicates — already collapsed by
+    :func:`dedup_exact`) or bits-per-band below log2(corpus)."""
+    return (
+        _lsh_buckets(signatures, k, n_bands)
+        .select("band", "bk", F.size("ids").alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    k: int = 16,
+    n_bands: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """Banded LSH: pairs sharing at least one band bucket (id_a < id_b).
 
     Posexplode band keys -> ONE (band, key) aggregation into per-bucket id
     lists -> in-row pair expansion. A self-equi-join would compute the
     signature subtree once per side (Spark does not dedupe identical
     logical subtrees pre-AQE); the bucket-list shape computes it ONCE and
-    shuffles each (band, id) exactly once. Per-bucket expansion is
-    quadratic in bucket size — bounded by construction when bits-per-band
-    tracks log2(corpus) (see similarity.lsh_bucket_candidates note); a
-    degenerate mega-bucket means the banding is mis-sized, not that the
-    join strategy should differ.
+    shuffles each (band, id) exactly once.
+
+    Per-bucket expansion is quadratic in bucket size — bounded by
+    construction when bits-per-band tracks log2(corpus) (see
+    similarity.lsh_bucket_candidates note), and bounded by BELT via
+    ``max_bucket_size`` (default 1000): a data-dependent mega-bucket
+    (thousands of identical docs -> identical signatures) would otherwise
+    expand quadratically inside ONE row and can OOM its executor. Capped
+    buckets are dropped — their members are exact/near-exact duplicate
+    masses that :func:`dedup_exact` already collapses; use
+    :func:`lsh_overflow_buckets` to observe what the cap removed. The
+    oracle SQL applies the identical cap, so the gate checks the capped
+    contract, not an uncapped ideal.
     """
-    per = k // n_bands
-    keys = F.array(
-        *[
-            F.concat_ws("|", *[F.col(f"mh_{b * per + j}").cast("string") for j in range(per)])
-            for b in range(n_bands)
-        ]
-    )
-    e = signatures.select(F.col("id"), F.posexplode(keys).alias("band", "bk"))
-    bucket = (
-        e.groupBy("band", "bk")
-        .agg(F.collect_set("id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+    bucket = _lsh_buckets(signatures, k, n_bands).filter(F.size("ids") >= 2)
+    if max_bucket_size is not None:
+        bucket = bucket.filter(F.size("ids") <= max_bucket_size)
     return (
         bucket.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
@@ -423,6 +504,7 @@ def jaccard_pairs_lsh(
     id_col: str = "doc_id",
     max_shingle_docs: int | None = 1000,
     portable: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs = MinHash-LSH candidates -> exact Jaccard re-score.
 
@@ -448,7 +530,9 @@ def jaccard_pairs_lsh(
         F.collect_set("shingle").alias("shs"),
         *[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hs)],
     )
-    cand = lsh_candidate_pairs(perdoc.drop("shs"), k=k, n_bands=n_bands)
+    cand = lsh_candidate_pairs(
+        perdoc.drop("shs"), k=k, n_bands=n_bands, max_bucket_size=max_bucket_size
+    )
     a = perdoc.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     b = perdoc.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
@@ -497,13 +581,37 @@ def _hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(sig: DataFrame, max_hamming: int = 2) -> DataFrame:
+BRUTE_FORCE_MAX_ROWS = 100_000
+
+
+def _guard_brute_force(df: DataFrame, what: str, force: bool) -> None:
+    """Refuse O(n^2) baselines on large inputs unless explicitly forced.
+
+    The brute-force tiers exist as labeled ground truth for the LSH scale
+    paths; this makes that contract enforceable instead of advisory (one
+    config typo away from an n^2 job at 100 TB). The count is a
+    column-less metadata scan — cheap relative to the n^2 join it gates.
+    """
+    if force:
+        return
+    n = df.count()
+    if n > BRUTE_FORCE_MAX_ROWS:
+        raise ValueError(
+            f"{what} is an O(n^2) brute-force baseline and the input has "
+            f"{n} rows (> {BRUTE_FORCE_MAX_ROWS}). Use the LSH/banded scale "
+            "path, or pass force=True if you really mean it."
+        )
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = 2, force: bool = False) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash (id_a < id_b).
 
     Brute-force all-pairs baseline — O(n^2) range join; kept for oracle
-    formulation and tiny inputs. :func:`simhash_pairs_banded` produces the
+    formulation and tiny inputs (refuses > BRUTE_FORCE_MAX_ROWS rows
+    without ``force=True``). :func:`simhash_pairs_banded` produces the
     IDENTICAL result via pigeonhole bucketing and is the executed path.
     """
+    _guard_brute_force(sig, "simhash_pairs", force)
     a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
     return (
@@ -514,7 +622,12 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 2) -> DataFrame:
     )
 
 
-def simhash_pairs_banded(sig: DataFrame, bits: int = 24, max_hamming: int = 1) -> DataFrame:
+def simhash_pairs_banded(
+    sig: DataFrame,
+    bits: int = 24,
+    max_hamming: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """EXACT Hamming-radius pairs via pigeonhole banding.
 
     Split the ``bits``-wide signature into ``max_hamming + 1`` segments:
@@ -523,6 +636,13 @@ def simhash_pairs_banded(sig: DataFrame, bits: int = 24, max_hamming: int = 1) -
     bucketed self-equi-join on (segment index, segment value), then the
     true Hamming filter runs on candidates only. Output == simhash_pairs
     (guaranteed, not probabilistic), at linear + |candidates| cost.
+
+    ``max_bucket_size`` is the same executor-OOM belt as
+    lsh_candidate_pairs — it defaults to None HERE because capping breaks
+    the exactness contract above (a dropped segment bucket can hide true
+    pairs); set it when running over corpora where mass-duplicate
+    signatures are possible and exact dups are already collapsed upstream
+    by :func:`dedup_exact`.
     """
     n_seg = max_hamming + 1
     width = bits // n_seg
@@ -537,6 +657,8 @@ def simhash_pairs_banded(sig: DataFrame, bits: int = 24, max_hamming: int = 1) -
         .agg(F.collect_set(F.struct("id", "simhash")).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
+    if max_bucket_size is not None:
+        bucket = bucket.filter(F.size("xs") <= max_bucket_size)
     cand = (
         bucket.select(F.explode("xs").alias("a"), "xs")
         .select("a", F.explode("xs").alias("b"))

@@ -95,6 +95,9 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+DEFAULT_MAX_BUCKET = 1000  # LSH bucket-size belt, mirrored in the oracle SQL
+
+
 def lsh_bucket_candidates(
     corpus: DataFrame,
     dim: int,
@@ -103,6 +106,7 @@ def lsh_bucket_candidates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Random-hyperplane LSH candidate pairs (id_a < id_b, shared band).
 
@@ -115,7 +119,18 @@ def lsh_bucket_candidates(
     Scale sizing: each band has 2^(n_planes/n_bands) buckets; keep
     bits-per-band ~ log2(corpus) so per-bucket occupancy stays O(1) and
     candidate volume stays linear. More planes cost only codegen folds.
+    ``max_bucket_size`` (default 1000) is the belt on top: a degenerate
+    embedding mass (thousands of identical vectors -> identical
+    signatures) would expand quadratically inside one bucket row and can
+    OOM its executor; capped buckets are dropped (exact-duplicate vectors
+    are a dedup_exact problem, not an ANN one) and the oracle SQL applies
+    the identical cap.
     """
+    if n_planes % n_bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by n_bands ({n_bands}); "
+            "trailing plane bits would otherwise be silently dropped"
+        )
     planes = hyperplanes(dim, n_planes, seed)
 
     corpus = _rebalance(corpus)
@@ -150,6 +165,8 @@ def lsh_bucket_candidates(
         .agg(F.collect_set("id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        bucket = bucket.filter(F.size("ids") <= max_bucket_size)
     return (
         bucket.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
@@ -167,6 +184,7 @@ def neardup_pairs_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding near-dup pairs, the scale path: hyperplane-LSH candidate
     generation -> exact cosine re-score of candidates only.
@@ -178,7 +196,9 @@ def neardup_pairs_lsh(
     self-join + |candidates| rescores; never the n^2 cross join of
     :func:`neardup_pairs`.
     """
-    cand = lsh_bucket_candidates(corpus, dim, n_planes, n_bands, seed, id_col, vec_col)
+    cand = lsh_bucket_candidates(
+        corpus, dim, n_planes, n_bands, seed, id_col, vec_col, max_bucket_size
+    )
     va = corpus.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb"))
     return (
@@ -198,12 +218,17 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
-    Brute-force all-pairs — correct baseline; use lsh_bucket_candidates to
-    pre-filter at scale (pairs ~ O(n^2) otherwise).
+    Brute-force all-pairs — correct baseline; refuses large corpora
+    without ``force=True`` (use :func:`neardup_pairs_lsh` at scale — the
+    pair join here is O(n^2)).
     """
+    from .dedup import _guard_brute_force
+
+    _guard_brute_force(corpus, "neardup_pairs", force)
     corpus = _rebalance(corpus)
     a = corpus.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb"))

@@ -147,20 +147,33 @@ def preview(
 # (column["format"]: mixpanel.rb:15-20; SchemaGuess timestamp goldens
 # export_service.rb:195-197, jql_service.rb:134-136,
 # test_export_service.rb:65-184). Each entry: (regex, spark format, type).
+#
+# Format-emission contract (round-trip guarantee): every regex below accepts
+# EXACTLY the strings its Spark pattern parses. Fractions use [.SSSSSSSSS]
+# (Spark's parser accepts 1..9 digits for a 9-'S' run, so '.1' and
+# '.123456789' both round-trip); offsets are split into two entries because
+# Spark's XXX parses only colon-form (+05:30 / Z) while no-colon offsets
+# (+0530) need XX — one merged regex would type the column TimestampType
+# and then NULL every value at parse time (silent data loss).
 _TS_PATTERNS: list[tuple[str, str, T.DataType]] = [
     (
-        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})$",
-        "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX",
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:\d{2})$",
+        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]XXX",
+        T.TimestampType(),
+    ),
+    (
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?[+-]\d{4}$",
+        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]XX",
         T.TimestampType(),
     ),
     (
         r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?$",
-        "yyyy-MM-dd'T'HH:mm:ss[.SSS]",
+        "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]",
         T.TimestampType(),
     ),
     (
         r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d{1,9})?$",
-        "yyyy-MM-dd HH:mm:ss[.SSS]",
+        "yyyy-MM-dd HH:mm:ss[.SSSSSSSSS]",
         T.TimestampType(),
     ),
     (r"^\d{4}-\d{2}-\d{2}$", "yyyy-MM-dd", T.DateType()),

@@ -745,16 +745,25 @@ def minhash_signatures_q(spark, sf_dir):
     )
 
 
-def _lsh_bands_sql(k: int, n_bands: int) -> str:
+def _lsh_bands_sql(k: int, n_bands: int, cap: int | None = 1000) -> str:
+    """Per-band candidate joins; ``cap`` mirrors the engine's
+    max_bucket_size belt (buckets with > cap members are excluded on both
+    engines, so the gate checks the capped contract)."""
     per = k // n_bands
     bands = []
     for b in range(n_bands):
         cols = ", ".join(f"CAST(mh_{b * per + j} AS VARCHAR)" for j in range(per))
+        capped = (
+            f" WHERE x.bk NOT IN (SELECT concat_ws('|', {cols}) AS bk FROM sig "
+            f"GROUP BY bk HAVING count(*) > {cap})"
+            if cap is not None
+            else ""
+        )
         bands.append(
             f"SELECT x.id AS id_a, y.id AS id_b FROM "
             f"(SELECT id, concat_ws('|', {cols}) AS bk FROM sig) x JOIN "
             f"(SELECT id, concat_ws('|', {cols}) AS bk FROM sig) y "
-            f"ON x.bk = y.bk AND x.id < y.id"
+            f"ON x.bk = y.bk AND x.id < y.id{capped}"
         )
     return "\n      UNION ALL\n      ".join(bands)
 
@@ -1017,9 +1026,12 @@ def _hyperplane_sig_sql() -> str:
         " || ".join(bit(b * per + j) for j in range(per)) + f" AS band_{b}"
         for b in range(_N_BANDS)
     )
+    # the NOT IN subqueries mirror the engine's max_bucket_size=1000 belt
     joins = "\n      UNION ALL\n      ".join(
         f"SELECT x.id AS id_a, y.id AS id_b FROM sig x JOIN sig y "
-        f"ON x.band_{b} = y.band_{b} AND x.id < y.id"
+        f"ON x.band_{b} = y.band_{b} AND x.id < y.id "
+        f"WHERE x.band_{b} NOT IN (SELECT band_{b} FROM sig "
+        f"GROUP BY band_{b} HAVING count(*) > 1000)"
         for b in range(_N_BANDS)
     )
     return f"""
@@ -1266,7 +1278,7 @@ def value_percentiles_q(spark, sf_dir):
     "session_windows",
     """
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER w >= INTERVAL 6 HOUR OR
                        lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_sess
@@ -1274,8 +1286,11 @@ def value_percentiles_q(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     islands AS (
+      -- ORDER BY (ts, event_id), matching the marked CTE's window: ordering
+      -- by the partition-constant user_id would leave exact-ts ties
+      -- nondeterministic and could split them across sessions
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, user_id
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM marked
     )

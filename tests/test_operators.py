@@ -287,3 +287,99 @@ def test_multimodal_frame_sampling_expands_videos_only(spark):
         assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
         assert sorted(r["ts_ms"] for r in rows) == [0, 40, 80, 120]
         assert all(len(r["frame"]) > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 hardening: bucket caps, convergence guards, brute-force guards
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_band_divisibility_raises(spark, docs):
+    """k % n_bands != 0 must fail loudly, not silently drop trailing
+    signature components (which would quietly weaken recall)."""
+    sig = minhash_signatures(docs, k=8, n=3)
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(sig, k=8, n_bands=3)
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_bucket_candidates(
+            spark.createDataFrame([(0, [0.0] * 4)], ["vec_id", "embedding"]),
+            dim=4, n_planes=16, n_bands=5,
+        )
+
+
+def test_lsh_bucket_cap_bounds_megabucket(spark):
+    """10k near-identical docs -> ONE signature bucket of 10k ids. Uncapped
+    that is a ~50M-pair in-row expansion (executor OOM territory at real
+    payload sizes); the cap drops the bucket, the overflow monitor reports
+    it, and exact dedup still collapses the mass."""
+    from embulk_input_mixpanel_spark.operators.dedup import lsh_overflow_buckets
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical text body repeated across the corpus many times").alias("text"),
+    )
+    sig = minhash_signatures(docs, k=8, n=3)
+    capped = lsh_candidate_pairs(sig, k=8, n_bands=4, max_bucket_size=1000)
+    assert capped.count() == 0  # the mega-bucket is dropped, not expanded
+    overflow = lsh_overflow_buckets(sig, k=8, n_bands=4, max_bucket_size=1000).collect()
+    assert len(overflow) == 4 and all(r["n_ids"] == n for r in overflow)
+    # the duplicate mass is an exact-dedup problem and that path still works
+    exact = dedup_exact(docs).collect()
+    assert len(exact) == 1 and exact[0]["n_docs"] == n
+
+
+def test_simhash_banded_bucket_cap(spark):
+    """simhash_pairs_banded accepts the same belt; capped buckets are
+    dropped (exactness trade documented on the operator)."""
+    n = 500
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same words everywhere always").alias("text")
+    )
+    sig = simhash(docs, bits=24)
+    assert simhash_pairs_banded(sig, bits=24, max_hamming=1, max_bucket_size=100).count() == 0
+    # uncapped finds all n*(n-1)/2 zero-hamming pairs
+    assert simhash_pairs_banded(sig, bits=24, max_hamming=1).count() == n * (n - 1) // 2
+
+
+def test_brute_force_guards_refuse_large_corpora(spark):
+    """O(n^2) baselines refuse > BRUTE_FORCE_MAX_ROWS rows unless forced."""
+    import embulk_input_mixpanel_spark.operators.dedup as dd
+    from embulk_input_mixpanel_spark.operators.similarity import neardup_pairs
+
+    old = dd.BRUTE_FORCE_MAX_ROWS
+    dd.BRUTE_FORCE_MAX_ROWS = 100
+    try:
+        sig = spark.range(101).select(F.col("id"), F.lit(5).alias("simhash"))
+        with pytest.raises(ValueError, match="force=True"):
+            simhash_pairs(sig, max_hamming=1)
+        assert simhash_pairs(sig.limit(100), max_hamming=1).count() == 100 * 99 // 2
+        emb = spark.range(101).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="force=True"):
+            neardup_pairs(emb, threshold=0.9)
+        assert neardup_pairs(emb, threshold=0.9, force=True).count() == 101 * 100 // 2
+    finally:
+        dd.BRUTE_FORCE_MAX_ROWS = old
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Adversarial chain graph: plain min-label propagation needs
+    O(diameter) rounds; the pointer-jumping (path-halving) step must close
+    a 256-edge chain well inside 25 rounds — and report its round count."""
+    n = 256
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    stats = {}
+    out = connected_components(edges, max_iters=25, stats=stats)
+    rows = {r["id"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(n + 1)}
+    assert stats["converged"] and stats["rounds"] <= 14, stats
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iters raises instead of returning wrong labels."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)

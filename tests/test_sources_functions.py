@@ -230,3 +230,35 @@ def test_source_available_ping(spark, tmp_path):
     spark.range(3).write.parquet(p)
     assert source_available(spark, p, retries=0)
     assert not source_available(spark, str(tmp_path / "nope"), retries=1, wait=0.05)
+
+
+def test_guess_ts_format_roundtrip_high_precision_and_offsets(spark):
+    """Every regex-accepted timestamp string must PARSE with the emitted
+    Spark format — microsecond/nanosecond fractions and no-colon offsets
+    included (a TimestampType guess whose format NULLs the values would be
+    silent data loss on ingest)."""
+    from pyspark.sql import functions as F
+
+    from embulk_input_mixpanel_spark.runner import _guess_ts_format
+
+    cases = [
+        "2024-01-01T00:00:00.123456Z",        # 6-digit fraction + Z
+        "2024-01-01T00:00:00.123456789Z",     # 9-digit fraction
+        "2024-01-01T00:00:00.1Z",             # 1-digit fraction
+        "2024-01-01T00:00:00+05:30",          # colon offset
+        "2024-01-01T00:00:00.25+05:30",
+        "2024-01-01T00:00:00+0530",           # no-colon offset -> XX format
+        "2024-01-01T00:00:00.123456+0530",
+        "2024-01-01T00:00:00.999999",         # naive
+        "2024-01-01 12:34:56.123456",
+    ]
+    for s in cases:
+        guess = _guess_ts_format(s)
+        assert guess is not None, s
+        fmt, _typ = guess
+        row = (
+            spark.createDataFrame([(s,)], ["s"])
+            .select(F.to_timestamp("s", fmt).alias("t"))
+            .first()
+        )
+        assert row["t"] is not None, f"{s!r} guessed {fmt!r} but parsed NULL"
