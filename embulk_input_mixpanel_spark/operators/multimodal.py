@@ -3,16 +3,26 @@
 Images/audio/video ride as ``binary`` columns next to typed metadata
 (mime, width/height, sample rate...). The Spark-side plumbing — schema,
 partition sizing, Arrow batch shape, ``mapInPandas`` signatures — is real
-and tested; the actual codec work is STUBBED (this container ships no
-image/audio libraries): ``decode_stub`` produces deterministic fake
-features so the distributed pipeline is exercised end-to-end, and
-``decode_real`` raises ``NotImplementedError`` with the import-gated shape
-a production build would fill in.
+and tested. Two decode tiers:
+
+- ``extract_features_stub`` / ``resize_stub`` / ``frame_sample_stub``:
+  deterministic fake codec work over synthetic payloads, exercising the
+  distributed pipeline shape end-to-end at any size.
+- ``decode_real``: REAL decoding via the dependency-free codecs in
+  functions/codecs.py — full PNG decode (signature, IHDR + CRC, IDAT
+  inflate + unfilter, mean pixel) and WAV PCM decode (RIFF chunk walk,
+  rate/bits/samples, mean amplitude); MP4 is sniffed at the container
+  level (ftyp brand) because frame decode genuinely needs a video
+  library — that single remaining gap is import-gated and loud
+  (rows come back decoded=false with the error string, never silently
+  wrong).
 
 Scale notes: binary payloads make rows fat — the helpers below keep
-batches bounded by bytes (``target_batch_bytes``), not row count, and the
-feature extraction is ``mapInPandas`` (one Python call per Arrow batch,
-streaming iterator — never a full-partition materialization).
+batches bounded by bytes (``target_batch_bytes``), not row count; the
+partition sizing samples row width from a bounded ``limit()`` probe (the
+payload column is NEVER fully scanned before the real pass); and all
+codec work is ``mapInPandas`` (one Python call per Arrow batch, streaming
+iterator — never a full-partition materialization).
 """
 
 from __future__ import annotations
@@ -26,7 +36,9 @@ from pyspark.sql import types as T
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "DECODED_SCHEMA",
     "synth_media",
+    "synth_media_real",
     "extract_features_stub",
     "resize_stub",
     "frame_sample_stub",
@@ -78,6 +90,28 @@ def synth_media(spark, n: int, payload_bytes: int = 4096, seed: int = 42) -> Dat
     )
 
 
+_SIZE_SAMPLE_ROWS = 10_000
+
+
+def _byte_bounded_parts(media: DataFrame, target_batch_bytes: int) -> int:
+    """Partition count so each partition carries ~target_batch_bytes of
+    payload. Row width comes from a ``limit(10k)`` SAMPLE — the limit is
+    pushed into the scan, so the binary column is read for at most 10k
+    rows, never end-to-end before the real pass. The row count is a
+    column-less aggregate (parquet footer metadata — the payload bytes are
+    not touched), so the only pre-pass I/O is the bounded sample.
+    """
+    avg_row = (
+        media.select(F.length("payload").alias("_l"))
+        .limit(_SIZE_SAMPLE_ROWS)
+        .agg(F.avg("_l"))
+        .first()[0]
+        or 4096
+    )
+    rows_per_part = max(int(target_batch_bytes / avg_row), 64)
+    return max(int((media.count() + rows_per_part - 1) / rows_per_part), 1)
+
+
 def extract_features_stub(
     media: DataFrame, feature_dim: int = 8, target_batch_bytes: int = 64 << 20
 ) -> DataFrame:
@@ -87,9 +121,7 @@ def extract_features_stub(
     a real decoder. Partitions are first rebalanced so a partition holds
     roughly ``target_batch_bytes`` of payload (fat-row safety).
     """
-    avg_row = media.select(F.avg(F.length("payload"))).first()[0] or 4096
-    rows_per_part = max(int(target_batch_bytes / avg_row), 64)
-    n_parts = max(int((media.count() + rows_per_part - 1) / rows_per_part), 1)
+    n_parts = _byte_bounded_parts(media, target_batch_bytes)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,8 +167,7 @@ def resize_stub(
     downstream byte-budget logic is exercised honestly. mapInPandas,
     byte-bounded batches — identical plumbing to a real PIL/libav resize.
     """
-    avg_row = media.select(F.avg(F.length("payload"))).first()[0] or 4096
-    n_parts = max(int((media.count() * avg_row) // target_batch_bytes) + 1, 1)
+    n_parts = _byte_bounded_parts(media, target_batch_bytes)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,8 +216,7 @@ def frame_sample_stub(
     a real demuxer produces) with deterministic fake frame bytes sliced
     from the payload and real sample timestamps. Non-video mimes pass
     through with zero rows (a decoder would skip them the same way)."""
-    avg_row = media.select(F.avg(F.length("payload"))).first()[0] or 4096
-    n_parts = max(int((media.count() * avg_row) // target_batch_bytes) + 1, 1)
+    n_parts = _byte_bounded_parts(media, target_batch_bytes)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -212,16 +242,134 @@ def frame_sample_stub(
     return media.repartition(n_parts).mapInPandas(gen, FRAME_SCHEMA)
 
 
-def decode_real(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Production decode path — requires PIL/librosa/av, not in this image.
-
-    Kept import-gated so the engine degrades loudly, not silently.
+def synth_media_real(
+    spark, n: int, seed: int = 42, target_batch_bytes: int = 64 << 20
+) -> DataFrame:
+    """Media table with REAL payload bytes: valid PNGs (8-bit grayscale,
+    deterministic pixels), valid PCM WAVs, and ftyp-sniffable MP4 stubs —
+    mime cycles by media_id like :func:`synth_media`. Generation is
+    ``mapInPandas`` over a range frame (distributed, deterministic from
+    (seed, media_id); no driver-side byte building).
     """
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real media decoding needs image/audio libraries absent from "
-            "this environment; use extract_features_stub for plumbing tests"
-        ) from exc
-    raise NotImplementedError("wire PIL/librosa decoders here")
+    from ..functions.codecs import encode_png, encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "mime": [], "width": [], "height": [], "payload": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rnd = (seed * 1_000_003 + mid) & 0x7FFFFFFF
+                w = 4 + (rnd % 13)
+                h = 4 + ((rnd >> 8) % 13)
+                kind = mid % 3
+                if kind == 0:
+                    px = bytes(
+                        ((rnd >> 4) + 31 * i) % 256 for i in range(w * h)
+                    )
+                    out["mime"].append("image/png")
+                    out["payload"].append(encode_png(w, h, px))
+                elif kind == 1:
+                    samples = [
+                        (((rnd >> 3) + 97 * i) % 2048) - 1024 for i in range(256)
+                    ]
+                    out["mime"].append("audio/wav")
+                    out["payload"].append(encode_wav(samples, sample_rate=16_000))
+                    w = h = 0
+                else:
+                    out["mime"].append("video/mp4")
+                    out["payload"].append(
+                        b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"
+                        + bytes((rnd + i) % 256 for i in range(64))
+                    )
+                    w = h = 0
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out).astype(
+                {"media_id": "int64", "width": "int32", "height": "int32"}
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_real(media: DataFrame, target_batch_bytes: int = 64 << 20) -> DataFrame:
+    """REAL decode over binary payloads — no image/audio libraries needed:
+
+    - ``image/png``: full decode via functions/codecs.py::decode_png
+      (signature, IHDR + CRC verify, IDAT inflate, filter-0 unfilter) ->
+      width/height/n_samples/mean pixel value.
+    - ``audio/wav``: RIFF chunk walk -> sample_rate/n_samples/mean |amp|.
+    - ``video/mp4``: container sniff (ftyp major brand). Frame decode
+      requires a real video library; when one is importable (``av``) this
+      is where it plugs in — until then video rows return decoded=false
+      with the brand and a declared error, never fake frames.
+
+    Corrupt payloads come back decoded=false with the parse error string —
+    a 100 TB ingest must quarantine bad bytes, not die on them. Batches are
+    byte-bounded like every other fat-row pass here.
+    """
+    from ..functions.codecs import decode_png, decode_wav, sniff_mp4_brand
+
+    n_parts = _byte_bounded_parts(media, target_batch_bytes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                rec = {
+                    "media_id": int(mid), "mime": mime, "decoded": False,
+                    "width": None, "height": None, "sample_rate": None,
+                    "n_samples": None, "mean_value": None, "brand": None,
+                    "error": None,
+                }
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    if mime == "image/png":
+                        d = decode_png(b)
+                        rec.update(
+                            decoded=True, width=d["width"], height=d["height"],
+                            n_samples=d["n_samples"], mean_value=d["mean_value"],
+                        )
+                    elif mime == "audio/wav":
+                        d = decode_wav(b)
+                        rec.update(
+                            decoded=True, sample_rate=d["sample_rate"],
+                            n_samples=d["n_samples"], mean_value=d["mean_value"],
+                        )
+                    elif mime == "video/mp4":
+                        rec.update(
+                            brand=sniff_mp4_brand(b),
+                            error="frame decode needs a video library (av); "
+                            "container sniff only",
+                        )
+                    else:
+                        rec.update(error=f"no decoder for mime {mime!r}")
+                except Exception as exc:  # quarantine, don't crash the job
+                    rec.update(decoded=False, error=str(exc))
+                rows.append(rec)
+            yield pd.DataFrame(rows).astype(
+                {
+                    "media_id": "int64", "decoded": "bool",
+                    "width": "Int32", "height": "Int32",
+                    "sample_rate": "Int32", "n_samples": "Int64",
+                    "mean_value": "float64",
+                }
+            )
+
+    return media.repartition(n_parts).mapInPandas(gen, DECODED_SCHEMA)

@@ -1264,13 +1264,16 @@ def user_running_value_q(spark, sf_dir):
 )
 def value_percentiles_q(spark, sf_dir):
     """Exact linear-interpolation percentiles per group (Spark percentile
-    == DuckDB quantile_cont bit-for-bit on this data; at 100 TB the same
-    query swaps to approx_percentile with a documented error bound)."""
+    == DuckDB quantile_cont bit-for-bit on this data). The SAME operator
+    (operators/stats.py::group_percentiles) carries the at-scale tier: a
+    mergeable approx_percentile sketch with a TESTED rank-error bound
+    (<= n/accuracy; tests/test_operators.py::test_approx_percentile_*),
+    selected by mode='approx' or automatically by input size."""
+    from .operators.stats import group_percentiles
+
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.9).alias("p90"),
-        F.percentile("value", 0.99).alias("p99"),
+    return group_percentiles(
+        ev, ["event_type"], "value", ps=(0.5, 0.9, 0.99), mode="exact"
     )
 
 

@@ -383,3 +383,128 @@ def test_connected_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=2)
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """The approx tier's contract: for every group and every p, the rank
+    of the returned value is within n/accuracy of the exact target rank
+    (Greenwald-Khanna guarantee). Checked on the sf0.001 events table."""
+    from embulk_input_mixpanel_spark.operators.stats import group_percentiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    accuracy = 1000
+    approx = group_percentiles(
+        ev, ["event_type"], "value", ps=(0.5, 0.9, 0.99), mode="approx",
+        accuracy=accuracy,
+    ).collect()
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for g in vals:
+        vals[g].sort()
+    for r in approx:
+        xs = vals[r["event_type"]]
+        n = len(xs)
+        tol = n / accuracy + 1  # sketch bound + discretization slack
+        for p, nm in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            v = r[nm]
+            # rank range of v in the exact distribution
+            import bisect
+            lo = bisect.bisect_left(xs, v)
+            hi = bisect.bisect_right(xs, v)
+            target = p * (n - 1)
+            assert lo - tol <= target <= hi + tol, (
+                f"{r['event_type']} {nm}: rank window [{lo},{hi}] vs target "
+                f"{target:.1f} exceeds n/accuracy={n/accuracy:.2f}"
+            )
+
+
+def test_group_percentiles_auto_tier_selection(spark):
+    """auto mode picks exact under the row budget, approx above it, and
+    the approx plan is a partial (map-side mergeable) aggregation."""
+    from embulk_input_mixpanel_spark.operators.stats import group_percentiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = group_percentiles(ev, ["event_type"], "value", mode="auto",
+                              exact_rows_max=10_000_000)
+    assert "percentile(" in exact._jdf.queryExecution().executedPlan().toString()
+    approx = group_percentiles(ev, ["event_type"], "value", mode="auto",
+                               exact_rows_max=10)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" in plan and "partial_approx_percentile" in plan
+    with pytest.raises(ValueError, match="mode"):
+        group_percentiles(ev, ["event_type"], "value", mode="bogus")
+
+
+def test_codecs_png_wav_roundtrip():
+    """Pure-Python codecs: encode -> decode recovers dims/rate/samples."""
+    from embulk_input_mixpanel_spark.functions.codecs import (
+        decode_png, decode_wav, encode_png, encode_wav, sniff_mp4_brand,
+    )
+
+    png = encode_png(5, 7, bytes((i * 37) % 256 for i in range(35)))
+    d = decode_png(png)
+    assert (d["width"], d["height"], d["n_samples"]) == (5, 7, 35)
+    assert d["mean_value"] == sum((i * 37) % 256 for i in range(35)) / 35
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(png[:-5] + bytes(5))  # corrupt the IEND CRC
+    wav = encode_wav([0, 100, -100, 500], sample_rate=8000)
+    w = decode_wav(wav)
+    assert (w["sample_rate"], w["n_samples"], w["channels"]) == (8000, 4, 1)
+    assert w["mean_value"] == (0 + 100 + 100 + 500) / 4
+    assert sniff_mp4_brand(b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom") == "isom"
+
+
+def test_decode_real_on_real_payloads(spark):
+    """decode_real decodes REAL bytes distributed through mapInPandas:
+    PNGs yield verified dims + mean pixel, WAVs yield rate + samples, MP4s
+    sniff the brand and declare the frame-decode gap, corrupt payloads
+    quarantine with an error instead of failing the job."""
+    from embulk_input_mixpanel_spark.operators.multimodal import (
+        decode_real, synth_media_real,
+    )
+
+    media = synth_media_real(spark, 30, seed=7)
+    out = {r["media_id"]: r for r in decode_real(media).collect()}
+    assert len(out) == 30
+    src = {r["media_id"]: r for r in media.collect()}
+    for mid, r in out.items():
+        if r["mime"] == "image/png":
+            assert r["decoded"] and (r["width"], r["height"]) == (
+                src[mid]["width"], src[mid]["height"])
+            assert r["n_samples"] == r["width"] * r["height"]
+            assert 0.0 <= r["mean_value"] <= 255.0
+        elif r["mime"] == "audio/wav":
+            assert r["decoded"] and r["sample_rate"] == 16000 and r["n_samples"] == 256
+        else:
+            assert not r["decoded"] and r["brand"] == "isom"
+            assert "video library" in r["error"]
+    # corrupt payload -> quarantined row, not a job failure
+    bad = spark.createDataFrame(
+        [(99, "image/png", 0, 0, bytearray(b"garbage"))],
+        "media_id long, mime string, width int, height int, payload binary",
+    )
+    row = decode_real(bad).collect()[0]
+    assert not row["decoded"] and "signature" in row["error"]
+
+
+def test_multimodal_sizing_never_full_scans_payload(spark, tmp_table_dir):
+    """The pre-pass sizing must not read the payload column end-to-end:
+    over a parquet-backed media table (the real case — sizes unknown to
+    the optimizer) the sample aggregate keeps its Limit, bounding how much
+    of the binary column the probe can read."""
+    from embulk_input_mixpanel_spark.operators.multimodal import _SIZE_SAMPLE_ROWS
+
+    synth_media(spark, 500, payload_bytes=2048).write.mode("overwrite").parquet(
+        f"{tmp_table_dir}/media.parquet"
+    )
+    media = spark.read.parquet(f"{tmp_table_dir}/media.parquet")
+    probe = (
+        media.select(F.length("payload").alias("_l"))
+        .limit(_SIZE_SAMPLE_ROWS)
+        .agg(F.avg("_l"))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan or "CollectLimit" in plan, plan
