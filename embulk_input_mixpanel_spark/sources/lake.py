@@ -379,6 +379,76 @@ class LakeTable:
             self._write_snapshot(snap)
         return snap
 
+    def commit_append(
+        self,
+        df: DataFrame,
+        properties: dict[str, Any] | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Append-only commit: add ``df``'s rows as NEW files in their
+        buckets, leaving every existing file untouched.
+
+        The O(batch) commit for IMMUTABLE data (dedup signatures, band
+        buckets, audit logs): cost is writing the batch's own rows, never
+        a copy-on-write of bucket history — at 100 TB an append must not
+        grow with table size. Mutable CDC state keeps using
+        :meth:`commit_rewrite` (latest-wins needs the bucket's full
+        contents). Same crash safety (data lands before the atomic
+        pointer swap) and the same optimistic-concurrency guard.
+
+        ``df`` must carry a ``bucket`` int column computed with
+        :meth:`bucket_expr` over the table's bucketing keys.
+        """
+        pre = self.snapshot()
+        if expected_version is not None and pre.version != expected_version:
+            raise ConcurrentCommitError(
+                f"table at v{pre.version}, batch planned against v{expected_version}"
+            )
+        stage_rel = os.path.join(
+            _DATADIR, f"v{pre.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        stage_abs = os.path.join(self.path, stage_rel)
+        out_schema = pre.schema
+        out_cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in out_schema.fields]
+        (
+            df.select("bucket", *out_cols)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(stage_abs)
+        )
+        staged: dict[str, list[str]] = {}
+        if os.path.isdir(stage_abs):
+            for entry in sorted(os.listdir(stage_abs)):
+                if not entry.startswith("bucket="):
+                    continue
+                b = str(int(entry.split("=", 1)[1]))
+                sub = os.path.join(stage_abs, entry)
+                staged[b] = [
+                    os.path.join(stage_rel, entry, f)
+                    for f in sorted(os.listdir(sub))
+                    if f.endswith(".parquet")
+                ]
+        with self._commit_lock():
+            prev = self.snapshot()
+            if expected_version is not None and prev.version != expected_version:
+                raise ConcurrentCommitError(
+                    f"table advanced to v{prev.version} during the data write "
+                    f"(batch planned against v{expected_version})"
+                )
+            files = {b: list(fl) for b, fl in prev.files.items()}
+            for b, fl in staged.items():
+                files.setdefault(b, []).extend(fl)
+            snap = Snapshot(
+                version=prev.version + 1,
+                schema_json=prev.schema_json,
+                num_buckets=prev.num_buckets,
+                files=files,
+                properties={**prev.properties, **(properties or {})},
+                parent=prev.version,
+            )
+            self._write_snapshot(snap)
+        return snap
+
     def commit_properties(
         self, properties: dict[str, Any], expected_version: int | None = None
     ) -> Snapshot:

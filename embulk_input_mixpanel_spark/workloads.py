@@ -632,8 +632,12 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     "neardup_docs_lsh",
     # the oracle is the BRUTE-FORCE exact formulation: the LSH path's output
     # is hash-independent once recall is total, which it is for this data's
-    # near-dup clusters (j >= 0.89 vs miss probability (1-j^3)^8 per pair;
-    # verified identical at sf0.001/0.01/0.1)
+    # near-dup clusters (j >= 0.8889 vs miss probability (1-j^3)^8 <= 6e-5
+    # per pair; verified identical at sf0.001/0.01/0.1). DATA-DEPENDENT: a
+    # testdata regen minting a pair the fixed hashes miss would fail this
+    # gate even though the operator behaves as designed —
+    # tests/test_operators.py::test_neardup_gate_data_clears_marginal_recall_band
+    # pins total recall directly so the failure surfaces there, explained
     _JACCARD_PAIRS_SQL.format(shingles=_shingles_sql(), threshold=0.85),
 )
 def neardup_docs_lsh_q(spark, sf_dir):
@@ -687,6 +691,42 @@ def neardup_components_q(spark, sf_dir):
         max_shingle_docs=_DF_CAP, portable=False,
     )
     return connected_components(pairs)
+
+
+@_q(
+    "incremental_neardup_batches",
+    # one-shot brute-force oracle over the UNION corpus: the incremental
+    # path must produce exactly the same pair set across its batch
+    # boundary. Shingles are uncapped here — document frequency is a
+    # global statistic an incremental ingest cannot know per batch (the
+    # LSH bucket cap is the hot-key belt instead); at the gate SFs the
+    # df-cap never binds anyway (500 docs < cap 1000). Recall note: same
+    # data-dependence as neardup_docs_lsh — total recall of this corpus'
+    # exact pair set by the fixed k=24/8-band hashes is pinned directly by
+    # tests/test_operators.py::test_neardup_gate_data_clears_marginal_recall_band.
+    _JACCARD_PAIRS_SQL.format(shingles=_shingles_sql(None), threshold=0.85),
+)
+def incremental_neardup_batches_q(spark, sf_dir):
+    """INCREMENTAL cross-batch dedup (operators/incremental_dedup.py):
+    the corpus arrives in two batches; each batch shingles/hashes only its
+    own docs, joins its band keys against the persisted LSH index (lake
+    table, bucket-pruned), rescores candidates exactly, and appends its
+    signatures + index rows O(batch). The union of per-batch outputs must
+    equal the one-shot recompute — the oracle is the same brute-force
+    exact-Jaccard formulation as neardup_docs_lsh."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.incremental_dedup import IncrementalDeduper
+
+    docs = load(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="incdedup-q-")
+    atexit.register(shutil.rmtree, d, True)
+    dd = IncrementalDeduper(spark, d, k=24, n_bands=8, threshold=0.85)
+    p1 = dd.add_batch(docs.filter("doc_id % 2 = 0"))
+    p2 = dd.add_batch(docs.filter("doc_id % 2 = 1"))
+    return p1.unionByName(p2)
 
 
 @_q(

@@ -1,0 +1,128 @@
+"""Incremental cross-batch dedup: parity, O(batch) cost evidence,
+crash roll-forward, redelivery idempotence, windowed-replay drive."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_input_mixpanel_spark.operators.dedup import jaccard_pairs_lsh
+from embulk_input_mixpanel_spark.operators.incremental_dedup import IncrementalDeduper
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _full_recompute(docs):
+    return _pairs(
+        jaccard_pairs_lsh(
+            docs, threshold=0.85, n=3, k=24, n_bands=8, max_shingle_docs=None
+        )
+    )
+
+
+def test_two_batch_parity_with_full_recompute(spark, docs, tmp_table_dir):
+    """Union of per-batch outputs == one-shot recompute over the union
+    corpus, with no pair reported twice (old-old pairs never re-emitted)."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    p1 = _pairs(dd.add_batch(docs.filter("doc_id % 2 = 0")))
+    p2 = _pairs(dd.add_batch(docs.filter("doc_id % 2 = 1")))
+    assert not set(p1) & set(p2)
+    assert {**p1, **p2} == _full_recompute(docs)
+    assert p2, "cross-batch (old-new) pairs must exist in this corpus"
+
+
+def test_small_batch_cost_is_o_batch(spark, docs, tmp_table_dir):
+    """After a 500-doc base load, a 5-doc increment must (a) shingle only
+    its own docs, (b) prune the band-index read to a fraction of the lake
+    buckets, and (c) read only the candidate docs' signature buckets —
+    the O(batch) contract, asserted from the operator's own stats."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    dd.add_batch(docs)
+    base = _full_recompute(docs)
+    # 5 new docs: 3 exact copies of existing docs + 2 unique
+    clones = docs.filter("doc_id < 3").select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    uniques = spark.createDataFrame(
+        [(100_100, "wholly original text that matches nothing else at all xyzzy"),
+         (100_101, "another completely unrelated string of words qwerty uiop")],
+        ["doc_id", "text"],
+    )
+    stats = {}
+    inc = _pairs(dd.add_batch(clones.unionByName(uniques), stats=stats))
+    assert stats["n_new"] == 5
+    assert stats["index_lake_buckets_read"] < stats["index_lake_buckets_total"], stats
+    assert stats["index_files_read"] < stats["index_files_total"], stats
+    assert stats["sig_lake_buckets_read"] < dd.sigs.num_buckets, stats
+    # each clone pairs with its source doc at jaccard 1.0 (plus any docs
+    # the source was already near-dup with)
+    for src in (0, 1, 2):
+        assert inc[(src, src + 100_000)] == 1.0
+    assert not (set(inc) & set(base))
+
+
+def test_crash_between_commits_rolls_forward(spark, docs, tmp_table_dir):
+    """Die after the sigs commit but before the band-index commit; the
+    next add_batch must roll the index forward from the dangling files,
+    and old-new pairs against the crashed batch's docs must be found."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    dd.add_batch(docs.filter("doc_id < 200"))
+
+    boom = RuntimeError("injected crash before index commit")
+    real_append = dd.buckets.commit_append
+    dd.buckets.commit_append = lambda *a, **k: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dd.add_batch(docs.filter("doc_id >= 200 and doc_id < 400"))
+    dd.buckets.commit_append = real_append
+    assert int(dd.sigs.properties["batch_seq"]) == 2
+    assert int(dd.buckets.properties["batch_seq"]) == 1  # dangling
+
+    # clone of a doc from the CRASHED batch: only findable if recovery
+    # rebuilt that batch's index rows
+    clone = spark.createDataFrame(
+        [(300_000, docs.filter("doc_id = 250").first()["text"])], ["doc_id", "text"]
+    )
+    stats = {}
+    inc = _pairs(dd.add_batch(clone, stats=stats))
+    assert stats["recovered"] is True
+    assert int(dd.buckets.properties["batch_seq"]) == 3
+    assert inc[(250, 300_000)] == 1.0
+
+
+def test_redelivered_batch_is_noop(spark, docs, tmp_table_dir):
+    """Replaying an already-ingested batch adds nothing (id anti-join) —
+    at-least-once upstream delivery stays exactly-once in the store."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    b = docs.filter("doc_id % 2 = 0")
+    dd.add_batch(b)
+    v_sig, v_buck = dd.sigs.version, dd.buckets.version
+    stats = {}
+    again = dd.add_batch(b, stats=stats)
+    assert again.count() == 0 and stats["n_new"] == 0
+    # empty batch commits nothing at all
+    assert (dd.sigs.version, dd.buckets.version) == (v_sig, v_buck)
+
+
+def test_windowed_replay_drive(spark, docs, tmp_table_dir):
+    """Drive the deduper through the CDC windowing machinery: BatchPlanner
+    slices the doc_id axis exactly like replay slices event_seq; the union
+    of per-window outputs equals the one-shot recompute."""
+    from embulk_input_mixpanel_spark.plans.windows import BatchPlanner
+
+    n_docs = docs.count()
+    planner = BatchPlanner(hwm=-1, upper_bound=n_docs - 1, slice_size=100)
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    got = {}
+    for batch in planner:
+        window = docs.filter(
+            (F.col("doc_id") > batch.lo) & (F.col("doc_id") <= batch.hi)
+        )
+        new_pairs = _pairs(dd.add_batch(window))
+        assert not set(new_pairs) & set(got)
+        got.update(new_pairs)
+    assert got == _full_recompute(docs.filter(F.col("doc_id") <= n_docs - 1))

@@ -151,3 +151,31 @@ def test_history_rollback_and_expire(spark, tmp_table_dir):
         import os as _os
 
         assert _os.path.exists(_os.path.join(t.path, f))
+
+
+def test_commit_append_leaves_existing_files_untouched(spark, tmp_table_dir):
+    """Append-only commit: new files land in their buckets, every prior
+    file survives verbatim (O(batch) append, never CoW of history), time
+    travel still sees the pre-append state, and the optimistic guard
+    rejects stale writers."""
+    import pytest
+
+    from embulk_input_mixpanel_spark.sources.lake import ConcurrentCommitError
+
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=4)
+    df1 = _with_bucket(spark.createDataFrame([("r1", "a", 1), ("r2", "b", 1)], SCHEMA), 4)
+    t.commit_rewrite(df1, [r[0] for r in df1.select("bucket").distinct().collect()])
+    files_v1 = {b: list(fl) for b, fl in t.snapshot().files.items()}
+
+    df2 = _with_bucket(spark.createDataFrame([("r1", "a", 2), ("r3", "c", 1)], SCHEMA), 4)
+    t.commit_append(df2, properties={"note": "batch2"})
+    assert t.version == 2
+    files_v2 = t.snapshot().files
+    for b, fl in files_v1.items():
+        assert set(fl) <= set(files_v2.get(b, [])), "append must not drop/rewrite files"
+    # append = multiset add: the (r1, a) rows now both exist (immutable log)
+    assert t.read().count() == 4
+    assert t.read(version=1).count() == 2  # time travel unaffected
+    assert t.properties["note"] == "batch2"
+    with pytest.raises(ConcurrentCommitError):
+        t.commit_append(df2, expected_version=1)

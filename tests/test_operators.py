@@ -508,3 +508,32 @@ def test_multimodal_sizing_never_full_scans_payload(spark, tmp_table_dir):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Limit" in plan or "CollectLimit" in plan, plan
+
+
+def test_neardup_gate_data_clears_marginal_recall_band(spark):
+    """The neardup gate queries (neardup_docs_lsh, neardup_components,
+    incremental_neardup_batches) pair a probabilistic-recall engine path
+    (per-pair miss prob (1-j^3)^8 with k=24/8 bands: ~5e-4 at j=0.85,
+    ~6e-5 at j=0.89) with an EXACT brute-force oracle. The engine's hash
+    family is fixed, so for FIXED data recall is deterministic — but a
+    future testdata regen could mint a marginal pair the fixed hashes
+    happen to miss. Pin total recall DIRECTLY at both gate SFs so a bad
+    regen fails HERE with an explanation, not in the driver gate with a
+    mystery hash mismatch."""
+    for sf in ("0.001", "0.01"):
+        docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                 ngram_jaccard_pairs(
+                     docs, threshold=0.85, n=3, max_shingle_docs=None
+                 ).collect()}
+        lsh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               jaccard_pairs_lsh(
+                   docs, threshold=0.85, n=3, k=24, n_bands=8,
+                   max_shingle_docs=None, portable=False,
+               ).collect()}
+        missed = {p: j for p, j in exact.items() if p not in lsh}
+        assert lsh == exact, (
+            f"sf{sf}: the fixed k=24/8-band hashes miss marginal-recall "
+            f"pairs {missed} — the exact oracle would flake the gate; raise "
+            "k/bands or regenerate data"
+        )
