@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.retry import with_retry
 from ..operators.apply import apply_batch
 from ..plans.checkpoint import get_cursor
 from ..plans.windows import Batch
@@ -36,6 +37,9 @@ def stream_replay(
     source_format: str = "parquet",
     schema=None,
     max_files_per_trigger: int | None = None,
+    writer_id: str = "",
+    retry_limit: int = 2,
+    retry_wait: float = 0.1,
 ) -> None:
     """Drain all available files from ``source_path`` into the table.
 
@@ -43,6 +47,13 @@ def stream_replay(
     taken from the epoch's own data (min/max event_seq) — the stream is
     the window ledger. Runs with availableNow (bounded drain), so the
     call returns when the backlog is applied.
+
+    ``writer_id`` namespaces this stream's cursor keys so it can run
+    CONCURRENTLY with batch writers over disjoint source partitions
+    (plans/checkpoint.py multi-writer); ``retry_limit``/``retry_wait``
+    re-apply an epoch whose optimistic commit lost the race to another
+    writer (apply_batch re-reads version + HWM map per attempt — the same
+    contract as runner.replay).
     """
     reader = spark.readStream.format(source_format)
     if schema is not None:
@@ -53,6 +64,15 @@ def stream_replay(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(source_path)
 
+    @with_retry(limit=retry_limit, initial_wait=retry_wait)
+    def _apply_once(batch_df: DataFrame, batch: Batch) -> None:
+        # hwm_skip off: file tails deliver in arbitrary seq order; the
+        # latest-wins merge alone guarantees idempotence/correctness
+        apply_batch(
+            table, batch_df, batch,
+            observe_metrics=False, hwm_skip=False, writer_id=writer_id,
+        )
+
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as F
 
@@ -61,11 +81,9 @@ def stream_replay(
         ).first()
         if bounds["hi"] is None:
             return
-        cursor = get_cursor(table)
+        cursor = get_cursor(table, writer_id)
         batch = Batch(index=int(epoch_id), lo=min(bounds["lo"] - 1, cursor), hi=int(bounds["hi"]))
-        # hwm_skip off: file tails deliver in arbitrary seq order; the
-        # latest-wins merge alone guarantees idempotence/correctness
-        apply_batch(table, batch_df, batch, observe_metrics=False, hwm_skip=False)
+        _apply_once(batch_df, batch)
 
     (
         stream.writeStream.foreachBatch(_apply)
