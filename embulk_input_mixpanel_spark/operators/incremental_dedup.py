@@ -189,6 +189,27 @@ class IncrementalDeduper:
         )
         return sorted(int(r["b"]) for r in rows)
 
+    def maintain(
+        self, max_files_per_bucket: int = 8, keep_snapshots: int = 10
+    ) -> dict[str, int]:
+        """Background maintenance: compact buckets that accumulated too
+        many per-batch append files, then expire superseded snapshots.
+
+        add_batch appends >=1 file per lake bucket per batch, so after B
+        batches a band-key read opens O(B) files per pruned bucket;
+        compaction restores O(1). Pure physical rewrite — pair output is
+        unaffected (tests pin parity) — and safe beside a live writer
+        (LakeTable.compact skips buckets that change under it)."""
+        out: dict[str, int] = {}
+        for name, table in (("sigs", self.sigs), ("buckets", self.buckets)):
+            _, st = table.compact(min_files=max_files_per_bucket + 1)
+            expired = table.expire_snapshots(keep_last=keep_snapshots)
+            out[f"{name}_buckets_compacted"] = st["buckets_compacted"]
+            out[f"{name}_files_in"] = st["files_in"]
+            out[f"{name}_files_out"] = st["files_out"]
+            out[f"{name}_files_expired"] = len(expired)
+        return out
+
     # --------------------------------------------------------------- ingest
 
     def add_batch(

@@ -449,6 +449,115 @@ class LakeTable:
             self._write_snapshot(snap)
         return snap
 
+    def compact(
+        self,
+        min_files: int = 2,
+        buckets: list[int] | None = None,
+        _post_stage_hook=None,
+    ) -> tuple[Snapshot | None, dict[str, int]]:
+        """Merge each bucket's many small files into one (bin-packing
+        rewrite — the Iceberg rewrite_data_files analog).
+
+        :meth:`commit_append` writes >=1 new file per bucket per batch, so
+        a long-running incremental ingest accumulates O(batches) files per
+        bucket and scan/open cost grows without bound — at 100 TB the
+        file-count, not the byte-count, becomes the read bottleneck.
+        Compaction is the maintenance valve: a PURE PHYSICAL rewrite
+        (tombstones and duplicate rows preserved verbatim — semantics
+        belong to readers/mergers, never to compaction), after which
+        :meth:`expire_snapshots` reclaims the superseded small files.
+
+        Lock-free-safe against concurrent writers WITHOUT pinning a
+        version: the critical section swaps a bucket only if every file it
+        compacted is still listed there. Files appended meanwhile are kept
+        alongside the compacted file (append commutes with compaction); a
+        bucket whose files were rewritten away meanwhile (CoW MERGE) is
+        skipped — its staged file becomes unreferenced garbage, never
+        published. So compaction needs no retry loop and can run as a
+        background job beside live ingest.
+
+        Returns (snapshot-or-None, stats). ``_post_stage_hook`` is a test
+        seam invoked between staging and the commit critical section.
+        """
+        pre = self.snapshot()
+        want = {str(int(b)) for b in buckets} if buckets is not None else None
+        todo = {
+            b: list(fl)
+            for b, fl in pre.files.items()
+            if len(fl) >= min_files and (want is None or b in want)
+        }
+        stats = {
+            "buckets_compacted": 0,
+            "buckets_skipped_concurrent": 0,
+            "files_in": sum(len(fl) for fl in todo.values()),
+            "files_out": 0,
+        }
+        if not todo:
+            return None, stats
+
+        stage_rel = os.path.join(
+            _DATADIR, f"v{pre.version + 1:08d}-compact-{uuid.uuid4().hex[:8]}"
+        )
+        stage_abs = os.path.join(self.path, stage_rel)
+        schema = pre.schema
+        # data files don't carry the bucket column (it's directory-encoded
+        # at write), so tag it back per bucket; the union is bounded by
+        # num_buckets, and repartition(n, bucket) lands each bucket in
+        # exactly one task -> exactly one output file per bucket dir
+        parts = [
+            self.spark.read.schema(schema)
+            .parquet(*[os.path.join(self.path, f) for f in fl])
+            .select(F.lit(int(b)).alias("bucket"), *[F.col(f2.name) for f2 in schema.fields])
+            for b, fl in todo.items()
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        (
+            df.repartition(len(todo), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(stage_abs)
+        )
+        staged: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(stage_abs)):
+            if not entry.startswith("bucket="):
+                continue
+            b = str(int(entry.split("=", 1)[1]))
+            sub = os.path.join(stage_abs, entry)
+            staged[b] = [
+                os.path.join(stage_rel, entry, f)
+                for f in sorted(os.listdir(sub))
+                if f.endswith(".parquet")
+            ]
+        if _post_stage_hook is not None:
+            _post_stage_hook()
+
+        with self._commit_lock():
+            prev = self.snapshot()
+            files = {b: list(fl) for b, fl in prev.files.items()}
+            for b, compacted_fl in todo.items():
+                cur = files.get(b, [])
+                if set(compacted_fl) <= set(cur):
+                    dropped = set(compacted_fl)
+                    files[b] = staged.get(b, []) + [f for f in cur if f not in dropped]
+                    stats["buckets_compacted"] += 1
+                    stats["files_out"] += len(staged.get(b, []))
+                else:
+                    stats["buckets_skipped_concurrent"] += 1
+            if stats["buckets_compacted"] == 0:
+                return None, stats
+            snap = Snapshot(
+                version=prev.version + 1,
+                schema_json=prev.schema_json,
+                num_buckets=prev.num_buckets,
+                files={b: fl for b, fl in files.items() if fl},
+                properties=prev.properties,
+                parent=prev.version,
+            )
+            self._write_snapshot(snap)
+        return snap, stats
+
     def commit_properties(
         self, properties: dict[str, Any], expected_version: int | None = None
     ) -> Snapshot:

@@ -126,3 +126,26 @@ def test_windowed_replay_drive(spark, docs, tmp_table_dir):
         assert not set(new_pairs) & set(got)
         got.update(new_pairs)
     assert got == _full_recompute(docs.filter(F.col("doc_id") <= n_docs - 1))
+
+
+def test_maintain_compacts_index_without_changing_results(spark, docs, tmp_table_dir):
+    """After many small batches the band index holds O(batches) files per
+    lake bucket; maintain() compacts them to O(1) and expires superseded
+    snapshots — and the NEXT batch's pair output is unchanged (compaction
+    is physical; parity pinned against the uncompacted full recompute)."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    got = {}
+    for lo, hi in ((0, 100), (100, 200), (200, 300), (300, 400)):
+        got.update(_pairs(dd.add_batch(
+            docs.filter(f"doc_id >= {lo} and doc_id < {hi}")
+        )))
+    files_before = sum(len(fl) for fl in dd.buckets.snapshot().files.values())
+    st = dd.maintain(max_files_per_bucket=1, keep_snapshots=1)
+    files_after = sum(len(fl) for fl in dd.buckets.snapshot().files.values())
+    assert st["buckets_buckets_compacted"] >= 1 and st["buckets_files_expired"] >= 1
+    assert files_after < files_before
+    buckets_per = [len(fl) for fl in dd.buckets.snapshot().files.values()]
+    assert max(buckets_per) == 1, "each lake bucket should hold one file post-compact"
+
+    got.update(_pairs(dd.add_batch(docs.filter("doc_id >= 400"))))
+    assert got == _full_recompute(docs)

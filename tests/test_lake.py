@@ -179,3 +179,81 @@ def test_commit_append_leaves_existing_files_untouched(spark, tmp_table_dir):
     assert t.properties["note"] == "batch2"
     with pytest.raises(ConcurrentCommitError):
         t.commit_append(df2, expected_version=1)
+
+
+def _multiset(df):
+    from collections import Counter
+
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_compact_merges_small_files_physically(spark, tmp_table_dir):
+    """N appends -> O(N) files per bucket; compact -> 1 file per bucket,
+    contents preserved as a MULTISET (duplicates and tombstone-shaped rows
+    survive verbatim — compaction is physical, semantics stay with
+    readers), time travel intact, expire reclaims the small files."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=4)
+    for i in range(5):
+        df = _with_bucket(
+            spark.createDataFrame(
+                [("r1", "a", i), ("r2", "b", i), ("r1", "a", i)], SCHEMA
+            ),
+            4,
+        )
+        t.commit_append(df)
+    before = _multiset(t.read())
+    files_before = {b: len(fl) for b, fl in t.snapshot().files.items()}
+    assert max(files_before.values()) >= 5
+
+    snap, stats = t.compact(min_files=2)
+    assert snap is not None and stats["buckets_skipped_concurrent"] == 0
+    assert stats["files_in"] >= 10 and stats["files_out"] == stats["buckets_compacted"]
+    files_after = {b: len(fl) for b, fl in t.snapshot().files.items()}
+    assert all(n == 1 for n in files_after.values()), files_after
+    assert _multiset(t.read()) == before
+    assert _multiset(t.read(version=snap.version - 1)) == before  # time travel
+    # second compact is a no-op (already 1 file/bucket)
+    snap2, stats2 = t.compact(min_files=2)
+    assert snap2 is None and stats2["buckets_compacted"] == 0
+    # expire reclaims the superseded small files from disk
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed
+    assert _multiset(t.read()) == before
+
+
+def test_compact_commutes_with_concurrent_append(spark, tmp_table_dir):
+    """A batch appended BETWEEN staging and the commit critical section
+    must survive: the swapped bucket keeps the racing file alongside the
+    compacted one (append commutes with compaction — no retry needed)."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=2)
+    for i in range(3):
+        t.commit_append(
+            _with_bucket(spark.createDataFrame([("r1", "a", i), ("r2", "b", i)], SCHEMA), 2)
+        )
+    racer = _with_bucket(spark.createDataFrame([("r1", "a", 99), ("r2", "b", 99)], SCHEMA), 2)
+    expected = _multiset(t.read()) + _multiset(racer.drop("bucket"))
+
+    snap, stats = t.compact(min_files=2, _post_stage_hook=lambda: t.commit_append(racer))
+    assert snap is not None
+    assert stats["buckets_compacted"] >= 1 and stats["buckets_skipped_concurrent"] == 0
+    assert _multiset(t.read()) == expected
+
+
+def test_compact_skips_bucket_rewritten_concurrently(spark, tmp_table_dir):
+    """A CoW rewrite landing mid-compaction invalidates the staged file
+    for that bucket: compact must SKIP it (never resurrect replaced
+    data) and publish nothing if no bucket survived the check."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=1)
+    for i in range(3):
+        t.commit_append(_with_bucket(spark.createDataFrame([("r1", "a", i)], SCHEMA), 1))
+
+    def rewrite_all():
+        df = _with_bucket(spark.createDataFrame([("r1", "a", 777)], SCHEMA), 1)
+        t.commit_rewrite(df, [0])
+
+    snap, stats = t.compact(min_files=2, _post_stage_hook=rewrite_all)
+    assert snap is None
+    assert stats["buckets_skipped_concurrent"] == 1 and stats["buckets_compacted"] == 0
+    assert _multiset(t.read()) == _multiset(
+        spark.createDataFrame([("r1", "a", 777)], SCHEMA)
+    )
