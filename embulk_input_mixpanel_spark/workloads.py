@@ -1194,9 +1194,7 @@ def ivf_assign_q(spark, sf_dir):
     return ivf_assign(load(spark, sf_dir, "embeddings"), n_centroids=8)
 
 
-@_q(
-    "ivf_topk",
-    f"""
+_IVF_TOPK_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
     assign AS ({_IVF_ASSIGN_SQL}),
@@ -1226,8 +1224,10 @@ def ivf_assign_q(spark, sf_dir):
                                    ORDER BY cos_r DESC, neighbor_id ASC) AS rnk
       FROM scored
     ) WHERE rnk <= 3
-    """,
-)
+    """
+
+
+@_q("ivf_topk", _IVF_TOPK_SQL)
 def ivf_topk_q(spark, sf_dir):
     """Cluster-probed ANN top-k (operators/similarity.py::ivf_topk)."""
     from .operators.similarity import ivf_topk
@@ -1235,6 +1235,37 @@ def ivf_topk_q(spark, sf_dir):
     return ivf_topk(
         load(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2], k=3, n_centroids=8, n_probe=2
     )
+
+
+@_q(
+    "incremental_ivf_topk",
+    # identical SQL to ivf_topk: the incremental index freezes centroids
+    # from its FIRST batch's lowest-id vectors, and the batch split below
+    # puts vec_ids 0..7 in batch 1, so frozen centroids == the one-shot
+    # seeding and the probed top-k must be bit-identical to it
+    _IVF_TOPK_SQL,
+)
+def incremental_ivf_topk_q(spark, sf_dir):
+    """INCREMENTAL ANN (operators/incremental_ann.py): embeddings arrive
+    in two batches; each assigns only its own vectors against the frozen
+    centroids (broadcast + partial-agg argmax) and appends them to a
+    cluster-bucketed lake table. The probe then opens ONLY the probed
+    clusters' lake buckets — file-level pruning at any corpus size — and
+    must match the one-shot ivf_topk oracle exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.incremental_ann import IncrementalANN
+
+    emb = load(spark, sf_dir, "embeddings")
+    half = emb.agg(F.max("vec_id")).first()[0] // 2
+    d = tempfile.mkdtemp(prefix="incann-q-")
+    atexit.register(shutil.rmtree, d, True)
+    ann = IncrementalANN(spark, d, n_centroids=8)
+    ann.add_batch(emb.filter(F.col("vec_id") <= half))
+    ann.add_batch(emb.filter(F.col("vec_id") > half))
+    return ann.topk(query_ids=[0, 1, 2], k=3, n_probe=2)
 
 
 @_q(
