@@ -258,11 +258,16 @@ class IncrementalDeduper:
         new_keys = newb.groupBy("band", "bk").agg(F.collect_set("id").alias("new_ids"))
 
         # old side: prune the band index to the lake buckets the batch's
-        # keys hash into, then ONE hash join on (band, bk)
+        # keys hash into, SEMI-JOIN the batch's key set BEFORE aggregating
+        # (the aggregate must see O(batch-matching) index rows, never the
+        # whole stored index — groupBy-then-join would re-aggregate the
+        # full corpus index every batch), then ONE hash join on (band, bk)
         key_lake_buckets = self._lake_buckets_of(newb, self.buckets, "band", "bk")
         snap_files = self.buckets.snapshot().files
+        new_key_set = new_keys.select("band", "bk")
         stored = (
             self.buckets.read(buckets=key_lake_buckets)
+            .join(F.broadcast(new_key_set), ["band", "bk"], "left_semi")
             .groupBy("band", "bk")
             .agg(F.collect_set("id").alias("old_ids"))
         )

@@ -384,9 +384,19 @@ class LakeTable:
         df: DataFrame,
         properties: dict[str, Any] | None = None,
         expected_version: int | None = None,
+        repartition_by_bucket: bool = True,
     ) -> Snapshot:
         """Append-only commit: add ``df``'s rows as NEW files in their
         buckets, leaving every existing file untouched.
+
+        ``repartition_by_bucket`` (default on) shuffles the batch so each
+        bucket lands in exactly ONE task -> ONE new file per touched
+        bucket per batch. Without it, partitionBy splits every task's
+        rows by bucket and a 64-task batch over 32 buckets appends up to
+        2048 tiny files — file-count, not byte-count, is what kills reads
+        at scale (measured 50s -> 6s on the incremental-dedup bulk batch).
+        Callers whose input is already partitioned by bucket can pass
+        False to skip the shuffle.
 
         The O(batch) commit for IMMUTABLE data (dedup signatures, band
         buckets, audit logs): cost is writing the batch's own rows, never
@@ -410,8 +420,11 @@ class LakeTable:
         stage_abs = os.path.join(self.path, stage_rel)
         out_schema = pre.schema
         out_cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in out_schema.fields]
+        staged_df = df.select("bucket", *out_cols)
+        if repartition_by_bucket:
+            staged_df = staged_df.repartition(pre.num_buckets, "bucket")
         (
-            df.select("bucket", *out_cols)
+            staged_df
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(stage_abs)

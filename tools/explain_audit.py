@@ -46,6 +46,13 @@ AUDIT = [
     "ivf_assign",
     "ivf_kmeans_refined",
     "ivf_topk",
+    # incremental ANN: the probe plan proves the cluster-bucketed layout
+    # prunes at the FILE level (scan lists only probed buckets' files).
+    # incremental_neardup_batches is absent by design: its result is
+    # localCheckpoint'ed (valid past the store commits), so the final plan
+    # is an opaque RDD scan — its pruning evidence is pinned by the stats
+    # asserts in tests/test_incremental_dedup.py instead.
+    "incremental_ivf_topk",
 ]
 
 
