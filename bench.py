@@ -113,12 +113,37 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             results[name] = round(time.time() - t0, 3)
 
+    # ---- incremental-store ingest (separate section: NOT in `value`, so
+    # the headline total stays comparable across rounds) -------------------
+    incremental: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from embulk_input_mixpanel_spark.operators.incremental_dedup import (  # noqa: PLC0415
+            IncrementalDeduper,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        dd = IncrementalDeduper(
+            spark, os.path.join(work, "incdedup"), k=24, n_bands=8, threshold=0.85
+        )
+        t0 = time.time()
+        dd.add_batch(docs).count()
+        incremental["dedup_base_build"] = round(time.time() - t0, 3)
+        small = docs.limit(25).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        t0 = time.time()
+        dd.add_batch(small).count()
+        incremental["dedup_increment_25_docs"] = round(time.time() - t0, 3)
+
     total = round(replay_s + sum(results.values()), 3)
     out = {
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
         "queries": results,
+        "incremental": incremental,
         "sf": sf,
         "replay": {
             "events": total_rows,

@@ -40,9 +40,16 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--events-parquet", help="parquet change-stream path")
     src.add_argument("--events-jsonl", help="JSONL change-stream path")
     src.add_argument("--gen-events", type=int, help="generate N synthetic events")
-    ap.add_argument("--upper-bound", type=int, required=True,
+    src.add_argument("--maintain", action="store_true",
+                     help="maintenance mode: compact small files + expire old "
+                          "snapshots, no ingest (safe beside live writers)")
+    ap.add_argument("--upper-bound", type=int,
                     help="event_seq upper bound locked at plan time")
-    ap.add_argument("--slice-size", type=int, required=True, help="events per micro-batch")
+    ap.add_argument("--slice-size", type=int, help="events per micro-batch")
+    ap.add_argument("--min-files", type=int, default=8,
+                    help="maintenance: compact buckets holding > this many files")
+    ap.add_argument("--keep-snapshots", type=int, default=10,
+                    help="maintenance: snapshots retained by expiry")
     ap.add_argument("--backfill", type=int, default=0, help="lateness re-read horizon (events)")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--allow-partial", action="store_true",
@@ -64,8 +71,21 @@ def main(argv: list[str] | None = None) -> int:
         print(f"config error: {exc}", file=sys.stderr)
         return 2
 
+    if not args.maintain and (args.upper_bound is None or args.slice_size is None):
+        print("config error: --upper-bound and --slice-size are required "
+              "unless --maintain", file=sys.stderr)
+        return 2
+
     spark = get_spark("cdc-ingest", cores=args.cores)
     table = open_or_create(spark, args.table, num_buckets=args.num_buckets)
+
+    if args.maintain:
+        snap, stats = table.compact(min_files=args.min_files + 1)
+        removed = table.expire_snapshots(keep_last=args.keep_snapshots)
+        print(json.dumps({**stats, "files_expired": len(removed),
+                          "table_version": table.version,
+                          "compacted": snap is not None}))
+        return 0
 
     if args.events_parquet:
         events = spark.read.parquet(args.events_parquet)

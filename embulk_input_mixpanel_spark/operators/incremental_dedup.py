@@ -65,10 +65,15 @@ PAIR_SCHEMA = T.StructType(
 
 
 def _sig_schema(k: int) -> T.StructType:
+    # shs holds xxhash64(shingle), not the shingle text: Jaccard over an
+    # injective-enough hash equals Jaccard over the strings (64-bit
+    # collision odds ~1e-8 at 1M distinct shingles), the sig table stores
+    # 8 bytes per shingle instead of its text, and the exact-rescore
+    # array_intersect compares longs instead of strings
     return T.StructType(
         [
             T.StructField("id", T.LongType()),
-            T.StructField("shs", T.ArrayType(T.StringType())),
+            T.StructField("shs", T.ArrayType(T.LongType())),
             *[T.StructField(f"mh_{i}", T.LongType()) for i in range(k)],
             T.StructField("batch_seq", T.LongType()),
         ]
@@ -242,7 +247,7 @@ class IncrementalDeduper:
         sh = shingles(fresh, text_col, id_col, self.n, max_shingle_docs=None)
         hs = _derived(base31("shingle", self.portable), self.k)
         perdoc = sh.groupBy("id").agg(
-            F.collect_set("shingle").alias("shs"),
+            F.collect_set(F.xxhash64("shingle")).alias("shs"),
             *[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hs)],
         ).localCheckpoint(eager=True)
         n_new = perdoc.count()

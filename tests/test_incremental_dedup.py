@@ -149,3 +149,33 @@ def test_maintain_compacts_index_without_changing_results(spark, docs, tmp_table
 
     got.update(_pairs(dd.add_batch(docs.filter("doc_id >= 400"))))
     assert got == _full_recompute(docs)
+
+
+def test_streaming_feed_drives_incremental_dedup(spark, docs, tmp_table_dir, tmp_path):
+    """Deployment shape: a Structured-Streaming tail of a docs landing
+    directory feeds the deduper one micro-batch at a time (foreachBatch).
+    The union of per-epoch pair outputs equals the one-shot recompute —
+    the same composition contract as stream_replay vs batch replay."""
+    src = str(tmp_path / "docs_landing")
+    for m in range(3):
+        docs.filter(f"doc_id % 3 = {m}").coalesce(1).write.mode("append").parquet(src)
+
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    got = {}
+
+    def _apply(batch_df, epoch_id):
+        pairs = _pairs(dd.add_batch(batch_df))
+        assert not set(pairs) & set(got), "no pair reported twice across epochs"
+        got.update(pairs)
+
+    (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert got == _full_recompute(docs)
