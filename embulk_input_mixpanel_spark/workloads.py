@@ -1512,3 +1512,79 @@ def q5_region_revenue(spark, sf_dir):
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+# ---- deterministic sampling / dataset splits (training curation) --------
+# Thresholds are INTEGER literals computed once here and used by BOTH
+# engines (the Spark operator recomputes the identical ints from the same
+# floats) — no float comparison ever crosses the engine boundary. The
+# portable md5-affine row hash replays bit-for-bit in DuckDB
+# (operators/dedup.py:89-95; oracle-parity hash contract).
+
+_P31 = 2_147_483_647
+_SAMPLE_FRACS = {"en": 0.8, "zh": 0.25}
+_SAMPLE_DEFAULT = 0.5
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _portable_hash_sql(salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {_P31}"
+    )
+
+
+@_q(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_portable_hash_sql('s1')} <
+      CASE lang
+        WHEN 'en' THEN {int(0.8 * _P31)}
+        WHEN 'zh' THEN {int(0.25 * _P31)}
+        ELSE {int(0.5 * _P31)}
+      END
+    """,
+)
+def stratified_sample_docs_q(spark, sf_dir):
+    """Per-language deterministic downsampling in ONE codegen'd filter
+    (operators/sampling.py::stratified_sample): keep 80% of en, 25% of
+    zh, 50% otherwise — decided per doc_id hash, so re-runs, retries and
+    backfills keep exactly the same docs (no RNG state at 100 TB)."""
+    from .operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", _SAMPLE_FRACS, _SAMPLE_DEFAULT,
+        salt="s1", portable=True,
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "dataset_split_counts",
+    # split ranges: sorted names (test, train, val), cumulative [lo, hi)
+    f"""
+    SELECT split, lang, count(*) AS n FROM (
+      SELECT lang,
+             CASE
+               WHEN {_portable_hash_sql('split')} < {int(0.1 * _P31)} THEN 'test'
+               WHEN {_portable_hash_sql('split')} < {int((0.1 + 0.8) * _P31)} THEN 'train'
+               ELSE 'val'
+             END AS split
+      FROM documents
+    ) GROUP BY split, lang
+    """,
+)
+def dataset_split_counts_q(spark, sf_dir):
+    """Immutable train/val/test assignment by hash range
+    (operators/sampling.py::split_assign): a doc ingested next year lands
+    in the same split it would today — eval sets stay uncontaminated
+    under incremental ingest. Aggregated per (split, lang)."""
+    from .operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id", _SPLIT_WEIGHTS, salt="split", portable=True)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )

@@ -537,3 +537,54 @@ def test_neardup_gate_data_clears_marginal_recall_band(spark):
             f"pairs {missed} — the exact oracle would flake the gate; raise "
             "k/bands or regenerate data"
         )
+
+
+def test_deterministic_sample_is_stable_and_proportional(spark):
+    """Same key set -> same sample on every run (no RNG), fraction lands
+    near target, and the xxhash64 / portable md5 tiers each self-agree."""
+    from embulk_input_mixpanel_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for portable in (False, True):
+        a = {r["doc_id"] for r in
+             deterministic_sample(docs, "doc_id", 0.3, portable=portable)
+             .select("doc_id").collect()}
+        b = {r["doc_id"] for r in
+             deterministic_sample(docs, "doc_id", 0.3, portable=portable)
+             .select("doc_id").collect()}
+        assert a == b
+        n = docs.count()
+        assert 0.2 * n < len(a) < 0.4 * n, (portable, len(a), n)
+    # different salt -> decorrelated sample
+    from embulk_input_mixpanel_spark.operators.sampling import sample_hash
+    import pyspark.sql.functions as F
+
+    s2 = {r["doc_id"] for r in
+          docs.filter(sample_hash("doc_id", salt="other") < int(0.3 * (2**31 - 1)))
+          .select("doc_id").collect()}
+    assert s2 != a
+
+
+def test_split_assign_immutable_under_corpus_growth(spark):
+    """A key's split NEVER changes as the corpus grows: assignment over a
+    subset equals assignment over the full corpus for the shared keys —
+    the eval-set non-contamination property under incremental ingest.
+    Every row gets exactly one split; weights are respected coarsely."""
+    from pyspark.sql import functions as F
+
+    from embulk_input_mixpanel_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"] for r in split_assign(docs, "doc_id", w).collect()}
+    early = {r["doc_id"]: r["split"] for r in
+             split_assign(docs.filter("doc_id < 100"), "doc_id", w).collect()}
+    assert all(full[k] == v for k, v in early.items())
+    assert set(full.values()) == {"train", "val", "test"}
+    n = len(full)
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 0.7 * n < n_train < 0.9 * n
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", {"a": 0.5, "b": 0.4})
