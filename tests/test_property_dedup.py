@@ -71,3 +71,33 @@ def test_lsh_rescore_subset_of_exact_and_recovers_exact_dups(spark, raw, portabl
     assert all(via[k] == exact[k] for k in via)    # and scores identically
     # identical shingle sets -> identical signatures -> always a candidate
     assert (0, dup_id) in via and via[(0, dup_id)] == 1.0
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(raw=CORPUS_ST, cut=st.integers(min_value=0, max_value=100))
+def test_incremental_union_equals_one_shot(spark, raw, cut, tmp_path_factory):
+    """For ANY corpus shape and ANY batch split point, the union of the
+    incremental deduper's per-batch outputs equals the one-shot LSH
+    recompute over the whole corpus, with no pair reported twice — the
+    incremental path is a pure refactoring of the batch path's math."""
+    from embulk_input_mixpanel_spark.operators.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    docs = _docs(spark, raw)
+    n = docs.count()
+    pivot = cut % n
+    store = str(tmp_path_factory.mktemp("incprop"))
+    dd = IncrementalDeduper(spark, store, k=24, n_bands=8, threshold=0.6,
+                            num_buckets=8)
+    p1 = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in dd.add_batch(docs.filter(f"doc_id < {pivot}")).collect()}
+    p2 = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in dd.add_batch(docs.filter(f"doc_id >= {pivot}")).collect()}
+    assert not set(p1) & set(p2)
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs_lsh(
+                docs, threshold=0.6, n=3, k=24, n_bands=8,
+                max_shingle_docs=None).collect()}
+    assert {**p1, **p2} == want
