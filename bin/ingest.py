@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintenance: compact buckets holding > this many files")
     ap.add_argument("--keep-snapshots", type=int, default=10,
                     help="maintenance: snapshots retained by expiry")
+    ap.add_argument("--vacuum-grace", type=float, default=3600.0,
+                    help="maintenance: only delete orphan files older than "
+                         "this many seconds (protects in-flight commits)")
     ap.add_argument("--backfill", type=int, default=0, help="lateness re-read horizon (events)")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--allow-partial", action="store_true",
@@ -82,7 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.maintain:
         snap, stats = table.compact(min_files=args.min_files + 1)
         removed = table.expire_snapshots(keep_last=args.keep_snapshots)
+        orphans = table.vacuum_orphans(grace_seconds=args.vacuum_grace)
         print(json.dumps({**stats, "files_expired": len(removed),
+                          "orphans_vacuumed": len(orphans),
                           "table_version": table.version,
                           "compacted": snap is not None}))
         return 0

@@ -466,6 +466,7 @@ class LakeTable:
         self,
         min_files: int = 2,
         buckets: list[int] | None = None,
+        max_records_per_file: int | None = None,
         _post_stage_hook=None,
     ) -> tuple[Snapshot | None, dict[str, int]]:
         """Merge each bucket's many small files into one (bin-packing
@@ -488,6 +489,13 @@ class LakeTable:
         skipped — its staged file becomes unreferenced garbage, never
         published. So compaction needs no retry loop and can run as a
         background job beside live ingest.
+
+        ``max_records_per_file`` caps output file size (Spark
+        maxRecordsPerFile roll-over): a mega-bucket compacts to a few
+        bounded files instead of one unbounded one — at 100 TB a bucket
+        can hold terabytes, and a single-file bucket would serialize that
+        bucket's scan into one task. Default None = one file per bucket
+        (right for the small per-batch append files this targets).
 
         Returns (snapshot-or-None, stats). ``_post_stage_hook`` is a test
         seam invoked between staging and the commit critical section.
@@ -526,12 +534,10 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        (
-            df.repartition(len(todo), "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(stage_abs)
-        )
+        writer = df.repartition(len(todo), "bucket").write.mode("overwrite")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("bucket").parquet(stage_abs)
         staged: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(stage_abs)):
             if not entry.startswith("bucket="):
@@ -639,6 +645,43 @@ class LakeTable:
                         os.remove(p)
                         removed.append(f)
             os.remove(self._snap_path(s.version))
+        return removed
+
+    def vacuum_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Delete data files referenced by NO retained snapshot (Iceberg
+        remove_orphan_files analog). Orphans accumulate from crashed
+        commits (staged before the pointer swap), losing racers, and
+        compactions whose bucket swap was skipped — all unreferenced by
+        design, but at 100 TB unreclaimed staging is real money.
+
+        ``grace_seconds`` protects in-flight writers: a file younger than
+        the grace window may belong to a commit that hasn't swapped yet,
+        so it is never touched (same rationale as Iceberg's
+        older_than). A live file's checksum sibling (.name.crc) is kept.
+        Returns removed paths (repo-relative)."""
+        live = {f for s in self.history() for f in s.all_files()}
+        datadir = os.path.join(self.path, _DATADIR)
+        removed: list[str] = []
+        now = time.time()
+        for root, _dirs, files in os.walk(datadir):
+            for fn in files:
+                p = os.path.join(root, fn)
+                rel = os.path.relpath(p, self.path)
+                if rel in live:
+                    continue
+                if fn.startswith(".") and fn.endswith(".crc"):
+                    base_rel = os.path.relpath(
+                        os.path.join(root, fn[1:-4]), self.path
+                    )
+                    if base_rel in live:
+                        continue
+                if now - os.path.getmtime(p) < grace_seconds:
+                    continue
+                os.remove(p)
+                removed.append(rel)
+        for root, _dirs, files in os.walk(datadir, topdown=False):
+            if root != datadir and not os.listdir(root):
+                os.rmdir(root)
         return removed
 
     def evolve_schema(self, new_fields: list[T.StructField]) -> T.StructType:

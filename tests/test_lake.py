@@ -257,3 +257,53 @@ def test_compact_skips_bucket_rewritten_concurrently(spark, tmp_table_dir):
     assert _multiset(t.read()) == _multiset(
         spark.createDataFrame([("r1", "a", 777)], SCHEMA)
     )
+
+
+def test_vacuum_orphans_reclaims_unreferenced_files_only(spark, tmp_table_dir):
+    """Orphans (crashed/raced commit leftovers, skipped compaction stages)
+    are deleted once past the grace window; every file referenced by ANY
+    retained snapshot — and live files' .crc siblings — survive, and
+    reads are unchanged. Young orphans are protected by the grace."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=2)
+    for i in range(2):
+        t.commit_append(
+            _with_bucket(spark.createDataFrame([("r1", "a", i), ("r2", "b", i)], SCHEMA), 2)
+        )
+    before = _multiset(t.read())
+    n_files_live = len(t.snapshot().all_files())
+
+    # forge orphans: a skipped-compaction staging dir with a fake file
+    orphan_dir = os.path.join(t.path, "data", "v00000099-deadbeef", "bucket=0")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.snappy.parquet")
+    with open(orphan, "w") as fh:
+        fh.write("junk")
+
+    # young orphan is protected by the grace window
+    assert t.vacuum_orphans(grace_seconds=3600) == []
+    assert os.path.exists(orphan)
+    # past the grace: reclaimed, empty dirs pruned, live files untouched
+    # (write-marker files like _SUCCESS are unreferenced too — also fair game)
+    removed = t.vacuum_orphans(grace_seconds=0)
+    assert any(r.endswith("part-orphan.snappy.parquet") for r in removed)
+    assert not any(r.endswith(".parquet") and "orphan" not in r for r in removed)
+    assert not os.path.exists(os.path.dirname(orphan))
+    assert len(t.snapshot().all_files()) == n_files_live
+    assert _multiset(t.read()) == before
+    # time travel to v1 still works (its files are retained by history)
+    assert t.read(version=1).count() == 2
+
+
+def test_compact_max_records_per_file_bounds_output(spark, tmp_table_dir):
+    """A mega-bucket compacts to SEVERAL bounded files, not one unbounded
+    one (single-file buckets would serialize that bucket's scan)."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=1)
+    for i in range(3):
+        rows = [("r%d" % j, "p", i) for j in range(40)]
+        t.commit_append(_with_bucket(spark.createDataFrame(rows, SCHEMA), 1))
+    before = _multiset(t.read())
+    snap, stats = t.compact(min_files=2, max_records_per_file=50)
+    assert snap is not None
+    files = t.snapshot().files["0"]
+    assert len(files) >= 3, files  # 120 rows / 50 cap -> >= 3 files
+    assert _multiset(t.read()) == before
