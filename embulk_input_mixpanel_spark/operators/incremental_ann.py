@@ -195,23 +195,38 @@ class IncrementalANN:
 
     def topk(
         self,
-        query_ids: list[int],
+        query_ids: list[int] | None = None,
         k: int = 3,
         n_probe: int = 2,
         stats: dict[str, Any] | None = None,
+        query_vectors: DataFrame | None = None,
     ) -> DataFrame:
         """Bucket-pruned probed top-k over the STORED corpus.
 
         Opens only the probed clusters' lake buckets — the candidate scan
         reads ``n_probe/n_centroids`` of the files however large the
         corpus. Output schema matches similarity.ivf_topk
-        (query_id, neighbor_id, cos_r, rnk)."""
+        (query_id, neighbor_id, cos_r, rnk).
+
+        Queries come from ``query_ids`` (stored vectors, the parity/gate
+        path) or ``query_vectors`` (a (query_id, v) frame of RAW vectors
+        — the serving path: embed-then-search without ingesting the
+        query; self-matches aren't excluded since the query isn't in the
+        corpus unless its id is)."""
+        if (query_ids is None) == (query_vectors is None):
+            raise ValueError("pass exactly one of query_ids / query_vectors")
         cent = self._centroids()
-        q = (
-            self.vectors.read()
-            .filter(F.col("id").isin([int(i) for i in query_ids]))
-            .select(F.col("id").alias("query_id"), F.col("v").alias("_qv"))
-        )
+        if query_vectors is not None:
+            q = query_vectors.select(
+                F.col("query_id").cast("long").alias("query_id"),
+                _to_double("v").alias("_qv"),
+            )
+        else:
+            q = (
+                self.vectors.read()
+                .filter(F.col("id").isin([int(i) for i in query_ids]))
+                .select(F.col("id").alias("query_id"), F.col("v").alias("_qv"))
+            )
         qc = F.broadcast(q).join(cent).select(
             "query_id", "centroid_id",
             F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("ccos"),

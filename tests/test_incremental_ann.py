@@ -97,3 +97,26 @@ def test_maintain_compacts_vector_files(spark, emb, tmp_table_dir):
     assert st["buckets_compacted"] >= 1 and after < before
     assert max(len(fl) for fl in ann.vectors.snapshot().files.values()) == 1
     assert _rows(ann.topk(query_ids=[0, 1, 2], k=3, n_probe=2)) == baseline
+
+
+def test_topk_serves_raw_query_vectors(spark, emb, tmp_table_dir):
+    """Serving path: raw (query_id, v) vectors probe the stored index
+    without being ingested; results for a stored vector's raw copy equal
+    the stored-id probe minus the self-match exclusion."""
+    import pytest
+
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    ann.add_batch(emb)
+    raw = (
+        emb.filter("vec_id = 0")
+        .select(F.lit(9_000_000).alias("query_id"), F.col("embedding").alias("v"))
+    )
+    got = ann.topk(query_vectors=raw, k=3, n_probe=2).collect()
+    assert len(got) == 3
+    # neighbor 0 IS stored, and the raw query equals it -> cos 1.0 at rank 1
+    top = [r for r in got if r["rnk"] == 1][0]
+    assert top["neighbor_id"] == 0 and top["cos_r"] == 1.0
+    with pytest.raises(ValueError):
+        ann.topk(query_ids=[0], query_vectors=raw)
+    with pytest.raises(ValueError):
+        ann.topk()

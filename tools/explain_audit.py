@@ -53,6 +53,10 @@ AUDIT = [
     # is an opaque RDD scan — its pruning evidence is pinned by the stats
     # asserts in tests/test_incremental_dedup.py instead.
     "incremental_ivf_topk",
+    # deterministic sampling: both must be a single codegen'd filter /
+    # aggregate over one scan — no RNG, no join, no per-stratum passes
+    "stratified_sample_docs",
+    "dataset_split_counts",
 ]
 
 
