@@ -63,3 +63,29 @@ def test_concurrent_commit_detected(spark, tmp_table_dir):
     # un-anchored commit still works (single-writer mode)
     t.commit_rewrite(df, [0, 1])
     assert t.read().count() == 1
+
+
+def test_cli_entrypoints_validate_args_without_spark():
+    """Both CLIs fail fast (exit 2) on invalid arg combinations BEFORE a
+    SparkSession is built — config errors must not cost a JVM launch."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(name, os.path.join(root, "bin", f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    ingest = load("ingest")
+    # missing bounds without --maintain
+    assert ingest.main(["--table", "/tmp/x", "--gen-events", "10"]) == 2
+    # bad timezone
+    assert ingest.main(["--table", "/tmp/x", "--gen-events", "10",
+                        "--upper-bound", "10", "--slice-size", "5",
+                        "--timezone", "Mars/Olympus"]) == 2
+    dedup = load("dedup")
+    # neither a batch nor maintenance requested
+    assert dedup.main(["--store", "/tmp/x"]) == 2
