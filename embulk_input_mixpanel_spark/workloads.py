@@ -1588,3 +1588,83 @@ def dataset_split_counts_q(spark, sf_dir):
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+@_q(
+    "curation_pipeline",
+    # end-to-end training-data curation as ONE oracle-checked composite:
+    # quality gate -> deterministic stratified sample -> near-dup removal
+    # (keep lowest id) -> per-language corpus stats. The oracle replays
+    # the whole chain with the exact-Jaccard brute-force dedup; the
+    # engine's LSH recall over this corpus' pairs is pinned total by
+    # tests/test_operators.py::test_neardup_gate_data_clears_marginal_recall_band
+    # (subset pairs collide iff they collided in the full corpus — band
+    # keys are per-doc).
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM base
+      WHERE n_tokens >= 25
+        AND ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % {_P31} <
+            CASE lang WHEN 'en' THEN {int(0.8 * _P31)} ELSE {int(0.5 * _P31)} END
+    ),
+    sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tok) - 2, 0)),
+               i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
+            FROM kept)
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    drop_ids AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.85
+    )
+    SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+    FROM kept WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
+    GROUP BY lang
+    """,
+)
+def curation_pipeline_q(spark, sf_dir):
+    """The operators COMPOSE: quality gate (token count) -> deterministic
+    per-language downsample (sampling.py) -> LSH near-dup removal keeping
+    the lowest doc_id (dedup.py scale path) -> per-language corpus stats.
+    Exactly the chain a training-data pipeline runs nightly at 100 TB;
+    every stage is a declarative plan, so Catalyst fuses the gate +
+    sample into the scan and the only shuffles are the dedup joins and
+    the final aggregate."""
+    from .operators.dedup import jaccard_pairs_lsh
+    from .operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = docs.select("doc_id", "lang", "text", n_tokens.cast("long").alias("n_tokens"))
+    kept = stratified_sample(
+        base.filter(F.col("n_tokens") >= 25),
+        "doc_id", "lang", {"en": 0.8}, 0.5, salt="cur", portable=True,
+    )
+    pairs = jaccard_pairs_lsh(
+        kept.select("doc_id", "text"), threshold=0.85, n=3, k=24, n_bands=8,
+        max_shingle_docs=None,
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        kept.join(drop, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )

@@ -57,6 +57,9 @@ AUDIT = [
     # aggregate over one scan — no RNG, no join, no per-stratum passes
     "stratified_sample_docs",
     "dataset_split_counts",
+    # composite curation chain: gate + sample must FUSE into the scan
+    # (one filter over documents), dedup joins are the only wide stages
+    "curation_pipeline",
 ]
 
 
