@@ -120,3 +120,33 @@ def test_topk_serves_raw_query_vectors(spark, emb, tmp_table_dir):
         ann.topk(query_ids=[0], query_vectors=raw)
     with pytest.raises(ValueError):
         ann.topk()
+
+
+def test_streaming_feed_drives_incremental_ann(spark, emb, tmp_table_dir, tmp_path):
+    """Deployment symmetry with the dedup store: a Structured-Streaming
+    tail feeds the ANN index one micro-batch at a time; the resulting
+    probe equals the batch-built index's probe (same frozen centroids:
+    the first epoch holds vec_ids 0..7)."""
+    src = str(tmp_path / "emb_landing")
+    half = emb.agg(F.max("vec_id")).first()[0] // 2
+    emb.filter(F.col("vec_id") <= half).coalesce(1).write.mode("append").parquet(src)
+    emb.filter(F.col("vec_id") > half).coalesce(1).write.mode("append").parquet(src)
+
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+
+    def _apply(batch_df, epoch_id):
+        ann.add_batch(batch_df)
+
+    (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = _rows(ann.topk(query_ids=[0, 1, 2], k=3, n_probe=2))
+    want = _rows(ivf_topk(emb, query_ids=[0, 1, 2], k=3, n_centroids=8, n_probe=2))
+    assert got == want and got
