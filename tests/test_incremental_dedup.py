@@ -179,3 +179,17 @@ def test_streaming_feed_drives_incremental_dedup(spark, docs, tmp_table_dir, tmp
         .awaitTermination()
     )
     assert got == _full_recompute(docs)
+
+
+def test_two_batch_parity_portable_tier(spark, docs, tmp_table_dir):
+    """The md5-affine portable hash tier satisfies the same union==one-shot
+    contract as the xxhash64 engine tier (both tiers share the store
+    format; only the MinHash family differs)."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8,
+                            threshold=0.85, portable=True)
+    p1 = _pairs(dd.add_batch(docs.filter("doc_id % 2 = 0")))
+    p2 = _pairs(dd.add_batch(docs.filter("doc_id % 2 = 1")))
+    want = _pairs(jaccard_pairs_lsh(
+        docs, threshold=0.85, n=3, k=24, n_bands=8,
+        max_shingle_docs=None, portable=True))
+    assert {**p1, **p2} == want and want
