@@ -395,6 +395,39 @@ def topk_revenue_orders(spark, sf_dir):
     )
 
 
+@_q(
+    "top_users_by_value",
+    """
+    SELECT user_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id ASC
+    LIMIT 100
+    """,
+)
+def top_users_by_value_q(spark, sf_dir):
+    """Global ORDER BY + LIMIT over a computed aggregate at non-trivial
+    cardinality (top-100 of ~10k users): the partial-agg sum feeds a
+    distributed TakeOrderedAndProject (per-partition top-100 heaps merged
+    on the driver — never a global sort of all users; plan pinned in
+    tests/test_plans.py). Decimal-exact sum, round(4)-then-rank with the
+    user_id tiebreak so both engines cut the top-100 boundary
+    identically."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops over `documents`
 # ---------------------------------------------------------------------------
@@ -1613,12 +1646,19 @@ def dataset_split_counts_q(spark, sf_dir):
             % {_P31} <
             CASE lang WHEN 'en' THEN {int(0.8 * _P31)} ELSE {int(0.5 * _P31)} END
     ),
-    sh AS (
+    sh_raw AS (
       SELECT doc_id AS id, unnest(list_distinct(list_transform(
                generate_series(1, greatest(len(tok) - 2, 0)),
                i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS shingle
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tok
             FROM kept)
+    ),
+    -- df-cap mirror: drop shingles present in > {_DF_CAP} docs (the
+    -- engine side's max_shingle_docs posting-size filter)
+    sh AS (
+      SELECT * FROM sh_raw WHERE shingle IN (
+        SELECT shingle FROM sh_raw GROUP BY shingle HAVING count(*) <= {_DF_CAP}
+      )
     ),
     sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
     inter AS (
@@ -1657,7 +1697,7 @@ def curation_pipeline_q(spark, sf_dir):
     )
     pairs = jaccard_pairs_lsh(
         kept.select("doc_id", "text"), threshold=0.85, n=3, k=24, n_bands=8,
-        max_shingle_docs=None,
+        max_shingle_docs=_DF_CAP,
     )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return (

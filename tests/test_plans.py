@@ -76,6 +76,16 @@ def test_ivf_assign_is_partial_aggregate_not_window(spark):
         assert "Window" not in plan, name
 
 
+def test_global_topk_is_take_ordered_not_global_sort(spark):
+    """top-100-of-10k-users must compile to TakeOrderedAndProject
+    (per-partition heaps merged on the driver), never a full global Sort
+    of the aggregated frame — the difference between O(k) driver memory
+    and a single-reducer sort at 100 TB."""
+    plan = _plan(spark, "top_users_by_value")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan  # map-side combine on the sum/count
+
+
 def test_wholestage_codegen_covers_scan_queries(spark):
     import re
 
