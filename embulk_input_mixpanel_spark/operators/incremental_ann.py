@@ -14,23 +14,44 @@ that lake bucket's parquet files, so a top-k probe reads
 file-level pruning the IVF paper promises, realized through snapshot
 file lists instead of a custom storage engine.
 
-Two lake tables:
+Three lake tables:
 - ``cent``    (centroid_id int, cv array<double>) — the tiny broadcast
-  dim, trained once from the FIRST batch (the ``n_centroids`` lowest-id
-  vectors, matching similarity.ivf_assign's deterministic seeding so the
-  incremental path is oracle-comparable against the one-shot SQL);
-  re-trained only by an explicit :meth:`retrain` (the standard IVF
-  deployment: freeze centroids, periodically rebuild offline).
+  dim, trained once from the FIRST non-empty batch (the ``n_centroids``
+  lowest-id vectors, matching similarity.ivf_assign's deterministic
+  seeding so the incremental path is oracle-comparable against the
+  one-shot SQL); re-trained only by an explicit :meth:`retrain`.
+  Carries ``epoch`` (bumped per (re)train) — the consistency token
+  between centroids and stored assignments.
 - ``vectors`` (id long, v array<double>, cluster int, cos_r double,
-  batch_seq long), bucket = cluster.
+  batch_seq long), bucket = cluster. Carries ``cent_epoch``: the epoch
+  its cluster assignments were computed against.
+- ``ids``     (id long, batch_seq long), bucket = id — the idempotence
+  index. Redelivery filtering anti-joins the batch against ONLY the lake
+  buckets its own ids hash into, so the known-id scan is O(batch) files
+  at any corpus size (the structure ``vectors`` itself cannot provide:
+  it is bucketed by cluster, which a new vector's id says nothing
+  about). Mirrors IncrementalDeduper's sigs-table pruning.
 
-Idempotence: redelivered ids are dropped by an anti-join against a
-column-pruned id scan (only the ``id`` column of the parquet files is
-read; the vector payload — the fat column — is never touched). Crash
-between the first batch's centroid commit and its vector append leaves
-valid frozen centroids and no vectors; the redelivered batch then
-appends normally. Concurrent writers are rejected by the tables'
-optimistic version guard.
+Crash consistency (:meth:`recover`, called at the top of
+:meth:`add_batch` and :meth:`maintain`):
+- ``vectors`` commits before ``ids`` with the same ``batch_seq``; a
+  crash in between is rolled FORWARD by rebuilding the dangling batch's
+  id rows from ``vectors.read().filter(batch_seq == seq)`` — a
+  column-pruned scan whose batch_seq predicate prunes via parquet
+  row-group stats (appends write per-batch files), and which stays
+  correct even if a compaction ran in between (file-diff recovery would
+  not — the lesson from the deduper's recover()).
+- :meth:`retrain` commits ``cent`` (epoch e+1) before the vectors
+  rewrite; a crash or optimistic-concurrency abort in between leaves
+  ``vectors.cent_epoch < cent.epoch``, which recover() heals by
+  re-assigning the stored corpus against the current centroids — a pure
+  function of durable state, so the roll-forward is idempotent.
+
+Idempotence: redelivered ids are dropped by the bucket-pruned anti-join
+above. Concurrent writers are rejected by the tables' optimistic version
+guard; an ingest that raced a retrain aborts (and the store heals via
+recover) rather than publishing assignments against superseded
+centroids.
 """
 
 from __future__ import annotations
@@ -42,7 +63,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.lake import LakeTable
+from ..sources.lake import ConcurrentCommitError, LakeTable, lake_buckets_of
 from .similarity import _rebalance, _to_double, cosine
 
 __all__ = ["IncrementalANN"]
@@ -61,6 +82,13 @@ _VEC_SCHEMA = T.StructType(
         T.StructField("v", T.ArrayType(T.DoubleType())),
         T.StructField("cluster", T.IntegerType()),
         T.StructField("cos_r", T.DoubleType()),
+        T.StructField("batch_seq", T.LongType()),
+    ]
+)
+
+_ID_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
         T.StructField("batch_seq", T.LongType()),
     ]
 )
@@ -92,25 +120,50 @@ class IncrementalANN:
         spark: SparkSession,
         path: str,
         n_centroids: int = 8,
+        id_buckets: int = 32,
     ):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.n_centroids = n_centroids
         cent_path = os.path.join(self.path, "cent")
         vec_path = os.path.join(self.path, "vectors")
+        ids_path = os.path.join(self.path, "ids")
         self.cent = LakeTable(spark, cent_path)
         self.vectors = LakeTable(spark, vec_path)
+        self.ids = LakeTable(spark, ids_path)
         if not self.cent.exists():
             self.cent = LakeTable.create(
                 spark, cent_path, _CENT_SCHEMA, num_buckets=1,
-                properties={"trained": False, "n_centroids": n_centroids},
+                properties={"trained": False, "n_centroids": n_centroids, "epoch": 0},
             )
+        else:
+            stored = self.cent.properties.get("n_centroids")
+            if stored is not None and int(stored) != n_centroids:
+                raise ValueError(
+                    f"store at {self.path} was created with n_centroids={stored}; "
+                    f"reopening with n_centroids={n_centroids} would probe a "
+                    "bucket layout the stored assignments don't follow"
+                )
         if not self.vectors.exists():
             # bucket == cluster: the bucketing IS the inverted file
             self.vectors = LakeTable.create(
                 spark, vec_path, _VEC_SCHEMA, num_buckets=n_centroids,
+                properties={"batch_seq": 0, "cent_epoch": 0},
+            )
+        if not self.ids.exists():
+            self.ids = LakeTable.create(
+                spark, ids_path, _ID_SCHEMA, num_buckets=id_buckets,
                 properties={"batch_seq": 0},
             )
+            # pre-id-index store (older layout): backfill so idempotence
+            # filtering stays correct for already-ingested batches
+            vec_seq = int(self.vectors.properties.get("batch_seq", 0))
+            if vec_seq > 0:
+                rows = self.vectors.read().select("id", "batch_seq")
+                self.ids.commit_append(
+                    rows.withColumn("bucket", self.ids.bucket_expr("id")),
+                    properties={"batch_seq": vec_seq},
+                )
 
     # ------------------------------------------------------------ internals
 
@@ -119,9 +172,12 @@ class IncrementalANN:
 
     def _train_from(self, vecs: DataFrame) -> None:
         """Seed centroids = the ``n_centroids`` lowest-id vectors of the
-        first batch (deterministic — mirrors similarity.ivf_assign, so
-        the one-shot SQL oracle stays expressible). Production retrains
-        with :meth:`retrain` once enough data has arrived."""
+        first NON-EMPTY batch (deterministic — mirrors
+        similarity.ivf_assign, so the one-shot SQL oracle stays
+        expressible). Production retrains with :meth:`retrain` once
+        enough data has arrived. Callers guarantee ``vecs`` is non-empty:
+        committing trained=True from an empty frame would freeze ZERO
+        centroids and silently ingest nothing forever after."""
         # TakeOrderedAndProject (distributed top-n) first; the window only
         # ranks the n_centroids survivors — never a global sort
         low = vecs.orderBy("id").limit(self.n_centroids)
@@ -133,12 +189,77 @@ class IncrementalANN:
                 F.col("v").alias("cv"),
             )
         )
+        epoch = int(self.cent.properties.get("epoch", 0)) + 1
         self.cent.commit_rewrite(
             cent.withColumn("bucket", F.lit(0)),
             touched_buckets=[0],
-            properties={"trained": True},
+            properties={"trained": True, "epoch": epoch},
             expected_version=self.cent.version,
         )
+
+    def _score_against_centroids(self, vecs: DataFrame) -> DataFrame:
+        """(id, v) -> (id, v, cluster, cos_r): broadcast-centroid score +
+        one partial-agg argmax."""
+        scored = F.broadcast(self._centroids()).join(vecs).select(
+            "id", "centroid_id",
+            F.round(cosine(F.col("v"), F.col("_cv")), 4).alias("cos_r"),
+        )
+        return _argmax_centroid(scored).join(vecs, "id")
+
+    def _reassign_all(self) -> None:
+        """Rewrite every stored vector's assignment against the CURRENT
+        centroids and stamp the table with the centroids' epoch — the
+        roll-forward half of retrain, also used by recover() when a crash
+        or raced writer left assignments behind the centroid epoch. Pure
+        function of durable state, so re-running it is idempotent."""
+        epoch = int(self.cent.properties.get("epoch", 0))
+        corpus = self.vectors.read().select("id", "v", "batch_seq")
+        newassign = self._score_against_centroids(corpus.select("id", "v")).join(
+            corpus.select("id", "batch_seq"), "id"
+        )
+        self.vectors.commit_rewrite(
+            newassign.select(
+                "id", "v", "cluster", "cos_r", "batch_seq",
+                F.col("cluster").alias("bucket"),
+            ),
+            touched_buckets=list(range(self.n_centroids)),
+            properties={"cent_epoch": epoch},
+        )
+
+    def recover(self) -> bool:
+        """Roll forward any interrupted multi-table commit sequence.
+
+        Two healable states (see module doc): a dangling vectors batch
+        whose id-index rows never committed, and a centroid epoch ahead
+        of the stored assignments (crashed/aborted retrain). Both
+        roll-forwards are pure functions of durable state. Returns True
+        if any recovery ran."""
+        ran = False
+        vec_seq = int(self.vectors.properties.get("batch_seq", 0))
+        id_seq = int(self.ids.properties.get("batch_seq", 0))
+        if vec_seq != id_seq:
+            if vec_seq != id_seq + 1:
+                raise RuntimeError(
+                    f"ANN store corrupt: vectors at batch {vec_seq}, id index at "
+                    f"{id_seq} — more than one dangling batch should be impossible"
+                )
+            # filter-by-batch_seq, NOT a snapshot file-diff: stays correct
+            # even if a compaction committed after the crash
+            dangling = self.vectors.read().filter(
+                F.col("batch_seq") == F.lit(vec_seq)
+            ).select("id", "batch_seq")
+            self.ids.commit_append(
+                dangling.withColumn("bucket", self.ids.bucket_expr("id")),
+                properties={"batch_seq": vec_seq},
+                expected_version=self.ids.version,
+            )
+            ran = True
+        if int(self.vectors.properties.get("cent_epoch", 0)) != int(
+            self.cent.properties.get("epoch", 0)
+        ):
+            self._reassign_all()
+            ran = True
+        return ran
 
     # --------------------------------------------------------------- ingest
 
@@ -151,41 +272,81 @@ class IncrementalANN:
     ) -> int:
         """Assign + append one batch of vectors; returns rows ingested.
 
-        O(batch): broadcast-centroid score of the new vectors only, one
-        partial-agg argmax, one append commit (new files only)."""
+        O(batch): a bucket-pruned known-id anti-join (only the id-index
+        files the batch's own ids hash into are opened), broadcast-
+        centroid score of the new vectors only, one partial-agg argmax,
+        one append commit per table (new files only)."""
+        ran_recovery = self.recover()
         batch_seq = int(self.vectors.properties.get("batch_seq", 0)) + 1
         vec_v = self.vectors.version
 
         vecs = _rebalance(batch).select(
             F.col(id_col).cast("long").alias("id"), _to_double(vec_col).alias("v")
         )
-        # idempotence: drop redelivered ids (column-pruned scan — only the
-        # id column of the stored files is read, never the vector payload)
-        known = self.vectors.read().select("id")
-        vecs = vecs.join(known, "id", "left_anti")
+        # idempotence: drop redelivered ids via the id-bucketed index —
+        # the scan opens only the lake buckets the BATCH's ids hash into,
+        # never the whole corpus' id files
+        batch_id_buckets = lake_buckets_of(vecs, self.ids, "id")
+        ids_snap = self.ids.snapshot()
+        known = self.ids.read(buckets=batch_id_buckets).select("id")
+        vecs = vecs.join(known, "id", "left_anti").localCheckpoint(eager=True)
+        n = vecs.count()
+        if stats is not None:
+            stats.update(
+                recovered=ran_recovery,
+                ids_files_read=sum(
+                    len(ids_snap.files.get(str(b), [])) for b in batch_id_buckets
+                ),
+                ids_files_total=sum(len(fl) for fl in ids_snap.files.values()),
+                ids_lake_buckets_read=len(batch_id_buckets),
+                ids_lake_buckets_total=self.ids.num_buckets,
+            )
+        if n == 0:
+            # empty (or fully-redelivered) batch: commit NOTHING — in
+            # particular never train centroids from it (an empty training
+            # corpus would freeze trained=True with zero centroids and
+            # poison every later ingest)
+            if stats is not None:
+                stats.update(n_new=0)
+            return 0
 
         if not bool(self.cent.properties.get("trained")):
             self._train_from(vecs)
+        cent_v = self.cent.version
+        epoch = int(self.cent.properties.get("epoch", 0))
 
-        scored = F.broadcast(self._centroids()).join(vecs).select(
-            "id", "v", "centroid_id",
-            F.round(cosine(F.col("v"), F.col("_cv")), 4).alias("cos_r"),
-        )
-        assigned = _argmax_centroid(scored.select("id", "centroid_id", "cos_r")).join(
-            vecs, "id"
-        )
-        out = assigned.select(
+        out = self._score_against_centroids(vecs).select(
             "id", "v", "cluster", "cos_r",
             F.lit(batch_seq).cast("long").alias("batch_seq"),
             F.col("cluster").alias("bucket"),
         ).localCheckpoint(eager=True)
-        n = out.count()
-        if n == 0:
-            if stats is not None:
-                stats.update(n_new=0)
-            return 0
+        # a retrain that committed while we were scoring would make these
+        # assignments stale — refuse to publish them (the epoch stamp +
+        # recover() heal the residual race between this check and the
+        # commit below)
+        if self.cent.version != cent_v:
+            raise ConcurrentCommitError(
+                "centroids advanced during batch scoring (concurrent retrain); "
+                "re-run add_batch"
+            )
+        # cent_epoch is a table-level invariant ("ALL stored assignments
+        # conform to epoch X"), so an append may never advance it past the
+        # existing stamp: if older rows lag the centroid epoch (a retrain
+        # raced us between the check above and this commit), stamping the
+        # batch's epoch would mask the pending re-assignment recover()
+        # owes the older rows. First batch of an empty table stamps freely.
+        prev_epoch = int(self.vectors.properties.get("cent_epoch", 0))
+        stamp = epoch if batch_seq == 1 else min(prev_epoch, epoch)
         self.vectors.commit_append(
-            out, properties={"batch_seq": batch_seq}, expected_version=vec_v
+            out,
+            properties={"batch_seq": batch_seq, "cent_epoch": stamp},
+            expected_version=vec_v,
+        )
+        self.ids.commit_append(
+            vecs.select("id", F.lit(batch_seq).cast("long").alias("batch_seq"))
+            .withColumn("bucket", self.ids.bucket_expr("id")),
+            properties={"batch_seq": batch_seq},
+            expected_version=self.ids.version,
         )
         if stats is not None:
             stats.update(n_new=n, batch_seq=batch_seq)
@@ -270,13 +431,24 @@ class IncrementalANN:
     def retrain(self, iters: int = 2) -> None:
         """Offline rebuild: Lloyd-refine centroids over the stored corpus,
         re-assign every vector, and REWRITE the vectors table (full CoW —
-        the periodic index rebuild, not the per-batch path)."""
+        the periodic index rebuild, not the per-batch path).
+
+        Concurrency contract: intended to run in a maintenance window.
+        An ingest racing it loses exactly one side's optimistic guard —
+        either this retrain's vectors rewrite aborts
+        (ConcurrentCommitError; the epoch mismatch it leaves behind is
+        healed by recover(), which re-assigns against the NEW centroids,
+        so the aborted retrain still converges) or the ingest's append
+        aborts and retries against the retrained store. Never both
+        publish, never a torn layout that stays torn."""
         from .similarity import ivf_refine_assign
 
-        corpus = self.vectors.read().select("id", "v")
+        self.recover()
+        vec_v = self.vectors.version
+        corpus = self.vectors.read().select("id", "v", "batch_seq")
         assign = ivf_refine_assign(
-            corpus, n_centroids=self.n_centroids, id_col="id", vec_col="v",
-            iters=iters,
+            corpus.select("id", "v"), n_centroids=self.n_centroids,
+            id_col="id", vec_col="v", iters=iters,
         )
         # recover the refined centroid vectors: exact decimal means per
         # (cluster, dim), identical to ivf_refine_assign's final round
@@ -295,33 +467,45 @@ class IncrementalANN:
                 F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
             ).alias("cv")
         ).select(F.col("cluster").cast("int").alias("centroid_id"), "cv")
+        epoch = int(self.cent.properties.get("epoch", 0)) + 1
         self.cent.commit_rewrite(
             cent.withColumn("bucket", F.lit(0)), touched_buckets=[0],
-            properties={"trained": True, "retrained_iters": iters},
+            properties={"trained": True, "epoch": epoch, "retrained_iters": iters},
+            expected_version=self.cent.version,
         )
-        rescored = F.broadcast(self._centroids()).join(corpus).select(
-            "id", "centroid_id",
-            F.round(cosine(F.col("v"), F.col("_cv")), 4).alias("cos_r"),
+        newassign = self._score_against_centroids(corpus.select("id", "v")).join(
+            corpus.select("id", "batch_seq"), "id"
         )
-        newassign = _argmax_centroid(rescored).join(corpus, "id")
-        batch_seq = int(self.vectors.properties.get("batch_seq", 0))
         self.vectors.commit_rewrite(
             newassign.select(
-                "id", "v", "cluster", "cos_r",
-                F.lit(batch_seq).cast("long").alias("batch_seq"),
+                "id", "v", "cluster", "cos_r", "batch_seq",
                 F.col("cluster").alias("bucket"),
             ),
             touched_buckets=list(range(self.n_centroids)),
+            properties={"cent_epoch": epoch},
+            expected_version=vec_v,
         )
 
     def maintain(self, max_files_per_bucket: int = 8, keep_snapshots: int = 10) -> dict:
-        """Compact per-batch append files + expire superseded snapshots
-        (same valve as IncrementalDeduper.maintain)."""
+        """Background maintenance: heal any interrupted commit sequence
+        FIRST (compacting across a dangling batch would otherwise leave
+        the roll-forward to misread history), then compact per-batch
+        append files + expire superseded snapshots (same valve as
+        IncrementalDeduper.maintain)."""
+        recovered = self.recover()
+        out: dict[str, Any] = {"recovered": recovered}
         _, st = self.vectors.compact(min_files=max_files_per_bucket + 1)
         expired = self.vectors.expire_snapshots(keep_last=keep_snapshots)
-        return {
-            "buckets_compacted": st["buckets_compacted"],
-            "files_in": st["files_in"],
-            "files_out": st["files_out"],
-            "files_expired": len(expired),
-        }
+        out.update(
+            buckets_compacted=st["buckets_compacted"],
+            files_in=st["files_in"],
+            files_out=st["files_out"],
+            files_expired=len(expired),
+        )
+        _, ist = self.ids.compact(min_files=max_files_per_bucket + 1)
+        iexp = self.ids.expire_snapshots(keep_last=keep_snapshots)
+        out.update(
+            ids_buckets_compacted=ist["buckets_compacted"],
+            ids_files_expired=len(iexp),
+        )
+        return out

@@ -44,7 +44,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["LakeTable", "Snapshot", "bucket_of", "ConcurrentCommitError"]
+__all__ = [
+    "LakeTable",
+    "Snapshot",
+    "bucket_of",
+    "lake_buckets_of",
+    "ConcurrentCommitError",
+]
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -69,6 +75,20 @@ def bucket_of(num_buckets: int, *key_cols: str | Column) -> Column:
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     return F.pmod(F.xxhash64(*cols), F.lit(num_buckets)).cast("int")
+
+
+def lake_buckets_of(df: DataFrame, table: "LakeTable", *key_cols: str) -> list[int]:
+    """Distinct lake-bucket ids a frame's key columns hash into — a
+    driver collect of at most ``table.num_buckets`` integers, used by the
+    incremental stores to prune store reads to the files a batch can
+    possibly match (the pruning that keeps per-batch cost O(batch) at any
+    corpus size)."""
+    rows = (
+        df.select(bucket_of(table.num_buckets, *key_cols).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["b"]) for r in rows)
 
 
 @dataclass(frozen=True)

@@ -122,6 +122,136 @@ def test_topk_serves_raw_query_vectors(spark, emb, tmp_table_dir):
         ann.topk()
 
 
+def test_redelivery_filter_reads_pruned_id_files(spark, emb, tmp_table_dir):
+    """The O(batch) idempotence contract: after a corpus-sized base load,
+    filtering a small redelivered batch must open only the id-index lake
+    buckets the batch's OWN ids hash into — never the whole corpus' id
+    files (asserted from the operator's own stats, same shape as the
+    deduper's index_files_read < total assert)."""
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    ann.add_batch(emb)
+    stats = {}
+    assert ann.add_batch(emb.filter("vec_id IN (3, 5)"), stats=stats) == 0
+    assert stats["n_new"] == 0
+    assert stats["ids_lake_buckets_read"] <= 2
+    assert 0 < stats["ids_files_read"] < stats["ids_files_total"], stats
+    # partial redelivery: the known half is dropped, the new half lands
+    fresh = emb.filter("vec_id IN (3, 5)").select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    stats = {}
+    n = ann.add_batch(
+        emb.filter("vec_id IN (3, 5)").select("vec_id", "embedding").unionByName(fresh),
+        stats=stats,
+    )
+    assert n == 2 and stats["ids_files_read"] < stats["ids_files_total"]
+
+
+def test_empty_first_batch_never_trains(spark, emb, tmp_table_dir):
+    """An empty first batch must NOT commit trained=True (zero centroids
+    would silently poison every later ingest); the first real batch then
+    trains and ingests normally."""
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    assert ann.add_batch(emb.filter("vec_id < 0")) == 0
+    assert bool(ann.cent.properties.get("trained")) is False
+    assert ann.cent.read().count() == 0
+    n = ann.add_batch(emb)
+    assert n > 0 and bool(ann.cent.properties.get("trained")) is True
+    assert ann.cent.read().count() == 8
+    assert ann.topk(query_ids=[0], k=3, n_probe=2).count() == 3
+
+
+def test_crash_between_vectors_and_ids_commits_rolls_forward(spark, emb, tmp_table_dir):
+    """Die after the vectors append but before the id-index append; the
+    next add_batch must roll the id index forward, so redelivering the
+    crashed batch is a no-op (no duplicate vectors ever)."""
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    ann.add_batch(emb.filter("vec_id % 2 = 0"))
+
+    crashed = emb.filter("vec_id % 2 = 1")
+    boom = RuntimeError("injected crash before id-index commit")
+    real_append = ann.ids.commit_append
+    ann.ids.commit_append = lambda *a, **k: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann.add_batch(crashed)
+    ann.ids.commit_append = real_append
+    assert int(ann.vectors.properties["batch_seq"]) == 2
+    assert int(ann.ids.properties["batch_seq"]) == 1  # dangling
+
+    total = emb.count()
+    stats = {}
+    assert ann.add_batch(crashed, stats=stats) == 0  # pure redelivery
+    assert stats["recovered"] is True
+    assert int(ann.ids.properties["batch_seq"]) == 2
+    assert ann.vectors.read().count() == total
+    assert ann.ids.read().count() == total
+
+
+def test_reopen_with_wrong_n_centroids_raises(spark, emb, tmp_table_dir):
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    ann.add_batch(emb)
+    with pytest.raises(ValueError, match="n_centroids"):
+        IncrementalANN(spark, tmp_table_dir, n_centroids=16)
+
+
+def test_retrain_racing_ingest_converges(spark, emb, tmp_table_dir):
+    """Verdict-pinned concurrency story: an ingest that lands between
+    retrain's centroid commit and its vectors rewrite makes the rewrite
+    abort on the optimistic guard; the epoch mismatch it leaves behind is
+    healed by recover(), after which every stored vector's assignment is
+    its argmax against the NEW centroids — the store converges instead of
+    staying torn."""
+    from embulk_input_mixpanel_spark.operators.similarity import cosine
+    from embulk_input_mixpanel_spark.sources.lake import ConcurrentCommitError
+
+    half = emb.agg(F.max("vec_id")).first()[0] // 2
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    ann.add_batch(emb.filter(F.col("vec_id") <= half))
+
+    racer = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    late = emb.filter(F.col("vec_id") > half)
+    real_rewrite = ann.vectors.commit_rewrite
+
+    def inject(df, touched_buckets, **kw):
+        # a second writer ingests AFTER the new centroids committed but
+        # BEFORE the retrain rewrote assignments
+        ann.vectors.commit_rewrite = real_rewrite
+        racer.add_batch(late)
+        return real_rewrite(df, touched_buckets, **kw)
+
+    ann.vectors.commit_rewrite = inject
+    with pytest.raises(ConcurrentCommitError):
+        ann.retrain(iters=1)
+    ann.vectors.commit_rewrite = real_rewrite
+
+    # the racer's ingest itself healed the torn window: its recover()
+    # saw the new epoch with lagging assignments and re-assigned the
+    # stored corpus before appending — so by the time the retrain aborts,
+    # the store is already consistent (recover() is then a no-op)
+    ann.recover()
+    assert int(ann.vectors.properties["cent_epoch"]) == int(
+        ann.cent.properties["epoch"]
+    )
+    vecs = ann.vectors.read()
+    assert vecs.count() == emb.count()
+    # every stored assignment == argmax against the current centroids
+    cent = ann.cent.read().select("centroid_id", F.col("cv").alias("_cv"))
+    mismatch = (
+        F.broadcast(cent).join(vecs.select("id", "v", "cluster"))
+        .select(
+            "id", "cluster", "centroid_id",
+            F.round(cosine(F.col("v"), F.col("_cv")), 4).alias("c"),
+        )
+        .groupBy("id", "cluster")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("centroid_id")).alias("ng"),
+                            F.col("centroid_id").alias("cid"))).alias("w"))
+        .filter(F.col("cluster") != F.col("w.cid"))
+    )
+    assert mismatch.count() == 0
+    # and the bucket layout matches the assignments: probes stay exact
+    assert ann.topk(query_ids=[0, 1], k=3, n_probe=8).count() == 6
+
+
 def test_streaming_feed_drives_incremental_ann(spark, emb, tmp_table_dir, tmp_path):
     """Deployment symmetry with the dedup store: a Structured-Streaming
     tail feeds the ANN index one micro-batch at a time; the resulting
