@@ -161,7 +161,35 @@ what the criterion measures.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
+    _append_history(result, lo_c, hi_c, trials)
     print(json.dumps(result))
+
+
+def _append_history(result: dict, lo_c: int, hi_c: int, trials: int) -> None:
+    """Keep BENCH/scaling_history.json auditable without text-parsing the
+    markdown: one entry per run, appended in place."""
+    path = os.path.join(REPO, "BENCH", "scaling_history.json")
+    hist = {"target": 0.8, "rounds": []}
+    if os.path.exists(path):
+        with open(path) as fh:
+            hist = json.load(fh)
+    hist.setdefault("rounds", []).append(
+        {
+            "round": os.environ.get("SPARK_GRAFT_ROUND", "unlabeled"),
+            "protocol": (
+                f"local[{lo_c}] vs local[{hi_c}], taskset-pinned, "
+                f"{trials} interleaved trials, {result['n_events']:,} events"
+            ),
+            "scaling_efficiency_best": result["scaling_efficiency_best"],
+            "scaling_efficiency_median": result["scaling_efficiency_median"],
+            "speedup_best": result["speedup_best"],
+            "speedup_median": result["speedup_median"],
+            "level_A_trials_ev_s": [round(v, 1) for v in result["level_A"]["trials"]],
+            "level_B_trials_ev_s": [round(v, 1) for v in result["level_B"]["trials"]],
+        }
+    )
+    with open(path, "w") as fh:
+        json.dump(hist, fh, indent=2)
 
 
 if __name__ == "__main__":

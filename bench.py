@@ -137,6 +137,41 @@ def main() -> None:
         dd.add_batch(small).count()
         incremental["dedup_increment_25_docs"] = round(time.time() - t0, 3)
 
+    # ---- adversarial skew replay (separate section: NOT in `value`) ------
+    # one repo forced to 20% of the stream — the monorepo hot-key shape.
+    # Evidence that AQE skew-join splitting + the merge path's salting keep
+    # throughput near the uniform-skew baseline instead of serializing on
+    # one reducer.
+    skew: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        ev_hot = change_events(
+            spark, n_events, n_repos=max(200, n_events // 2000), paths_per_repo=500,
+            dup_rate=0.1, evolve_after=n_events // 2, hot_repo_fraction=0.2,
+        )
+        hot_path = os.path.join(work, "stream_hot")
+        (
+            ev_hot.repartitionByRange(max(cores * 2, 8), "event_seq")
+            .sortWithinPartitions("event_seq")
+            .write.parquet(hot_path)
+        )
+        hot_stream = spark.read.parquet(hot_path)
+        hot_tbl = open_or_create(
+            spark, os.path.join(work, "repo_files_hot"), num_buckets=max(cores * 2, 16)
+        )
+        replay(hot_tbl, hot_stream, upper_bound=warm, slice_size=warm, lineage=False)
+        t0 = time.time()
+        rep_hot = replay(
+            hot_tbl, hot_stream, upper_bound=n_events,
+            slice_size=max(n_events // 4, 1),
+        )
+        hot_s = time.time() - t0
+        skew = {
+            "hot_repo_fraction": 0.2,
+            "events_per_sec": round(rep_hot.rows_in / hot_s, 1),
+            "seconds": round(hot_s, 3),
+            "vs_uniform": round((rep_hot.rows_in / hot_s) / events_per_sec, 3),
+        }
+
     total = round(replay_s + sum(results.values()), 3)
     out = {
         "metric": "total_bench_seconds",
@@ -144,6 +179,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "incremental": incremental,
+        "skew": skew,
         "sf": sf,
         "replay": {
             "events": total_rows,

@@ -4,9 +4,11 @@
 Maintains a persistent MinHash/LSH store (two lake tables) and ingests
 document batches O(batch): only new docs are shingled/hashed; their band
 keys join the stored index; candidates are exactly rescored. Re-running
-with an already-ingested batch is a no-op (id anti-join), crashes roll
-forward on the next run — the same at-least-once -> exactly-once contract
-as the CDC ingest CLI.
+with an already-ingested batch leaves the store untouched (id anti-join)
+and re-derives that batch's original pair output from stored signatures,
+so --out-parquet is idempotent under reruns; crashes roll forward on the
+next run — the same at-least-once -> exactly-once contract as the CDC
+ingest CLI.
 
 Usage:
     python bin/dedup.py --store /data/dedup_store \
@@ -37,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--k", type=int, default=24, help="minhash signature length")
     ap.add_argument("--n-bands", type=int, default=8)
     ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--max-shingle-docs", type=int, default=None,
+                    help="persistent df-cap: drop shingles present in more "
+                         "than this many docs (boilerplate belt; fixed at "
+                         "store creation)")
     ap.add_argument("--out-parquet", help="write this batch's NEW pairs here")
     ap.add_argument("--maintain", action="store_true",
                     help="compact store files + expire snapshots after ingest "
@@ -51,15 +57,22 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("incremental-dedup", cores=args.cores)
     dd = IncrementalDeduper(
         spark, args.store, k=args.k, n_bands=args.n_bands, n=args.ngram,
-        threshold=args.threshold,
+        threshold=args.threshold, max_shingle_docs=args.max_shingle_docs,
     )
     summary: dict = {"store": os.path.abspath(args.store)}
     if args.docs_parquet:
         stats: dict = {}
+        batch = spark.read.parquet(args.docs_parquet)
         pairs = dd.add_batch(
-            spark.read.parquet(args.docs_parquet),
-            text_col=args.text_col, id_col=args.id_col, stats=stats,
+            batch, text_col=args.text_col, id_col=args.id_col, stats=stats,
         )
+        if stats.get("n_new") == 0 and batch.limit(1).count() > 0:
+            # fully-redelivered batch (e.g. rerun after a crash between
+            # the store commits and the pair write below): re-derive the
+            # pairs it originally emitted so the overwrite is idempotent
+            # instead of silently replacing them with an empty frame
+            pairs = dd.redelivered_pairs(batch, id_col=args.id_col)
+            summary["redelivered"] = True
         if args.out_parquet:
             pairs.write.mode("overwrite").parquet(args.out_parquet)
             summary["out"] = args.out_parquet

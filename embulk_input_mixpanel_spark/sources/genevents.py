@@ -72,6 +72,7 @@ def change_events(
     ts_base_ms: int = 1_700_000_000_000,
     evolve_after: int | None = None,
     partitions: int | None = None,
+    hot_repo_fraction: float = 0.0,
 ) -> DataFrame:
     """Build the event stream as a lazy DataFrame of ``n_events * (1+dup_rate)`` rows.
 
@@ -80,6 +81,11 @@ def change_events(
 
     ``evolve_after``: events with seq >= this gain a ``branch`` key in
     ``props`` — downstream schema evolution must add the column additively.
+
+    ``hot_repo_fraction``: adversarial skew knob on top of the baseline
+    Zipf — this fraction of events is FORCED onto repo-0 (e.g. 0.2 = one
+    repo takes 20% of the stream), the monorepo-dominates-the-firehose
+    shape that stresses the MERGE shuffle's skew handling.
     """
     n_dups = int(n_events * dup_rate)
     total = n_events + n_dups
@@ -96,6 +102,11 @@ def change_events(
     # Zipf-ish skew: log-uniform repo index => frequency ~ 1/rank.
     u = (F.pmod(_h(seed, "repo", F.col("event_seq")), F.lit(1_000_000)) / 1_000_000.0)
     repo_idx = F.floor(F.pow(F.lit(float(n_repos)), u)) - 1
+    if hot_repo_fraction > 0.0:
+        hot_u = (
+            F.pmod(_h(seed, "hot", F.col("event_seq")), F.lit(1_000_000)) / 1_000_000.0
+        )
+        repo_idx = F.when(hot_u < F.lit(hot_repo_fraction), F.lit(0)).otherwise(repo_idx)
     path_idx = F.pmod(_h(seed, "path", F.col("event_seq")), F.lit(paths_per_repo))
     opr = F.pmod(_h(seed, "op", F.col("event_seq")), F.lit(100))
     commit_seq = F.floor(F.col("event_seq") / commits_per_tie)

@@ -415,6 +415,12 @@ class LakeTable:
         rows by bucket and a 64-task batch over 32 buckets appends up to
         2048 tiny files — file-count, not byte-count, is what kills reads
         at scale (measured 50s -> 6s on the incremental-dedup bulk batch).
+        The partition count is pinned to ``num_buckets`` on purpose: an
+        unpinned ``repartition(col)`` would let AQE coalesce a tiny
+        batch's write tasks, but the extra adaptive re-planning round
+        measurably costs MORE than num_buckets mostly-empty tasks save
+        (A/B'd at a 25-row batch: commits 1.5s unpinned vs 1.0s pinned),
+        and at real batch sizes every bucket task carries data anyway.
         Callers whose input is already partitioned by bucket can pass
         False to skip the shuffle.
 
@@ -674,16 +680,37 @@ class LakeTable:
         compactions whose bucket swap was skipped — all unreferenced by
         design, but at 100 TB unreclaimed staging is real money.
 
-        ``grace_seconds`` protects in-flight writers: a file younger than
-        the grace window may belong to a commit that hasn't swapped yet,
-        so it is never touched (same rationale as Iceberg's
-        older_than). A live file's checksum sibling (.name.crc) is kept.
-        Returns removed paths (repo-relative)."""
+        ``grace_seconds`` protects in-flight writers at STAGING-DIRECTORY
+        granularity, not per file: each commit attempt stages into its own
+        ``data/v*-<hex>/`` directory, and a single long-running data write
+        produces files minutes apart — per-file mtimes would let vacuum
+        delete a slow commit's early files while its late files are still
+        landing, after which the swapped snapshot references deleted files
+        (a corrupt table, not just lost staging). So a staging dir whose
+        NEWEST file is inside the grace window is skipped whole; only
+        dirs quiescent for the full grace period are eligible (same
+        rationale as Iceberg's older_than, widened to the commit unit).
+        A vacuum with a grace shorter than the slowest plausible commit
+        must not run beside live writers. A live file's checksum sibling
+        (.name.crc) is kept. Returns removed paths (repo-relative)."""
         live = {f for s in self.history() for f in s.all_files()}
         datadir = os.path.join(self.path, _DATADIR)
         removed: list[str] = []
         now = time.time()
+        # newest mtime per top-level staging dir (the commit-attempt unit)
+        newest: dict[str, float] = {}
         for root, _dirs, files in os.walk(datadir):
+            rel_root = os.path.relpath(root, datadir)
+            top = rel_root.split(os.sep, 1)[0] if rel_root != "." else "."
+            for fn in files:
+                m = os.path.getmtime(os.path.join(root, fn))
+                if m > newest.get(top, 0.0):
+                    newest[top] = m
+        for root, _dirs, files in os.walk(datadir):
+            rel_root = os.path.relpath(root, datadir)
+            top = rel_root.split(os.sep, 1)[0] if rel_root != "." else "."
+            if now - newest.get(top, 0.0) < grace_seconds:
+                continue  # commit attempt possibly in flight: skip whole dir
             for fn in files:
                 p = os.path.join(root, fn)
                 rel = os.path.relpath(p, self.path)
@@ -695,8 +722,6 @@ class LakeTable:
                     )
                     if base_rel in live:
                         continue
-                if now - os.path.getmtime(p) < grace_seconds:
-                    continue
                 os.remove(p)
                 removed.append(rel)
         for root, _dirs, files in os.walk(datadir, topdown=False):

@@ -94,6 +94,72 @@ def test_crash_between_commits_rolls_forward(spark, docs, tmp_table_dir):
     assert inc[(250, 300_000)] == 1.0
 
 
+def test_maintain_after_crash_recovers_before_compacting(spark, docs, tmp_table_dir):
+    """The ADVICE-pinned hazard: maintain() running after a crash between
+    the sigs and buckets commits must roll the dangling batch forward
+    FIRST — compaction commits a new sigs snapshot, which would make a
+    file-diff-based recovery rebuild the wrong rows (dangling docs
+    missing from the index forever + compacted rows re-appended). The
+    batch_seq-filter recovery + recover-inside-maintain close both."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    dd.add_batch(docs.filter("doc_id < 200"))
+    dd.add_batch(docs.filter("doc_id >= 200 and doc_id < 300"))
+
+    boom = RuntimeError("injected crash before index commit")
+    real_append = dd.buckets.commit_append
+    dd.buckets.commit_append = lambda *a, **k: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dd.add_batch(docs.filter("doc_id >= 300 and doc_id < 400"))
+    dd.buckets.commit_append = real_append
+
+    # maintenance runs FIRST after the crash (the hazardous ordering)
+    st = dd.maintain(max_files_per_bucket=1, keep_snapshots=1)
+    assert st["recovered"] == 1
+    assert int(dd.buckets.properties["batch_seq"]) == 3
+    # index rows were rebuilt exactly once per (band, doc): no bloat
+    idx = dd.buckets.read()
+    assert idx.count() == idx.select("band", "bk", "id").distinct().count()
+    # and a clone of a doc from the crashed batch is still findable
+    clone = spark.createDataFrame(
+        [(300_000, docs.filter("doc_id = 350").first()["text"])], ["doc_id", "text"]
+    )
+    inc = _pairs(dd.add_batch(clone))
+    assert inc[(350, 300_000)] == 1.0
+
+
+def test_reopen_with_mismatched_params_raises(spark, docs, tmp_table_dir):
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    dd.add_batch(docs.filter("doc_id < 50"))
+    with pytest.raises(ValueError, match="k=24"):
+        IncrementalDeduper(spark, tmp_table_dir, k=16, n_bands=8)
+    with pytest.raises(ValueError, match="n_bands"):
+        IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=12)
+    with pytest.raises(ValueError, match="portable"):
+        IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, portable=True)
+    # matching params reopen fine (threshold/caps are per-call knobs)
+    IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.9)
+
+
+def test_redelivered_pairs_rederives_original_output(spark, docs, tmp_table_dir):
+    """Crash-after-commit-before-pair-write: rerunning the same batch
+    must be able to reproduce the pairs it originally emitted, purely
+    from durable store state (the bin/dedup.py exactly-once story)."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    p1 = _pairs(dd.add_batch(b1))
+    p2 = _pairs(dd.add_batch(b2))
+    assert p2, "batch 2 must emit cross-batch pairs in this corpus"
+    # store ingestion is a no-op on redelivery, but the original output
+    # of EITHER batch is recomputable
+    assert dd.add_batch(b2).count() == 0
+    assert _pairs(dd.redelivered_pairs(b2)) == p2
+    assert _pairs(dd.redelivered_pairs(b1)) == p1
+    # never-ingested ids re-derive nothing
+    ghost = spark.createDataFrame([(999_999, "xx")], ["doc_id", "text"])
+    assert dd.redelivered_pairs(ghost).count() == 0
+
+
 def test_redelivered_batch_is_noop(spark, docs, tmp_table_dir):
     """Replaying an already-ingested batch adds nothing (id anti-join) —
     at-least-once upstream delivery stays exactly-once in the store."""
@@ -179,6 +245,109 @@ def test_streaming_feed_drives_incremental_dedup(spark, docs, tmp_table_dir, tmp
         .awaitTermination()
     )
     assert got == _full_recompute(docs)
+
+
+def _boiler_docs(spark, ids, header, tail_fn):
+    rows = [(i, f"{header} {tail_fn(i)}") for i in ids]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_persistent_df_cap_bounds_boilerplate_and_saves_recall(spark, tmp_table_dir, tmp_path):
+    """601 docs share a 28-word license-header boilerplate; one doc
+    (9999) is a true clone of doc 450. Uncapped, every doc pairs with
+    every doc through the header (~163k candidate pairs — the quadratic
+    blowup). With the persistent df-cap the header shingles are excluded
+    from signatures, candidates collapse to exactly the one true pair,
+    and a fresh-store single batch is BIT-IDENTICAL to the batch
+    operator's df-cap (jaccard_pairs_lsh max_shingle_docs) — the exact
+    oracle for the capped semantics."""
+    from embulk_input_mixpanel_spark.operators.dedup import jaccard_pairs_lsh
+
+    header = (
+        "permission is hereby granted free of charge to any person obtaining "
+        "a copy of this software and associated documentation files to deal "
+        "in the software without restriction"
+    )
+    uniq = lambda i: (
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+    )
+    corpus = _boiler_docs(
+        spark, list(range(600)) + [9999], header,
+        lambda i: uniq(450 if i == 9999 else i),
+    )
+
+    # exact parity: fresh store + one batch == the batch-mode df-cap
+    dd_one = IncrementalDeduper(
+        spark, str(tmp_path / "one"), k=24, n_bands=8, threshold=0.5,
+        max_shingle_docs=100,
+    )
+    p_one = _pairs(dd_one.add_batch(corpus))
+    want = _pairs(jaccard_pairs_lsh(
+        corpus, threshold=0.5, n=3, k=24, n_bands=8, max_shingle_docs=100
+    ))
+    assert p_one == want
+    assert p_one == {(450, 9999): 1.0}
+
+    # control: NO df-cap -> boilerplate-driven quadratic candidate blowup
+    ctl = IncrementalDeduper(spark, str(tmp_path / "ctl"), k=24, n_bands=8,
+                             threshold=0.5)
+    stats_ctl = {}
+    ctl.add_batch(corpus, stats=stats_ctl)
+    assert stats_ctl["n_candidates"] > 100_000, stats_ctl
+
+    # capped cross-batch: both batches drop the header (df > cap), so
+    # candidates stay exactly the true near-dups across the store
+    dd = IncrementalDeduper(
+        spark, tmp_table_dir, k=24, n_bands=8, threshold=0.5,
+        max_shingle_docs=100,
+    )
+    s1, s2 = {}, {}
+    p1 = _pairs(dd.add_batch(corpus.filter("doc_id < 300"), stats=s1))
+    p2 = _pairs(dd.add_batch(corpus.filter("doc_id >= 300"), stats=s2))
+    assert s1["n_candidates"] == 0 and not p1
+    assert s2["n_candidates"] == 1 and p2 == {(450, 9999): 1.0}
+    assert int(dd.dfreq.properties["batch_seq"]) == 2
+
+    # reopen validation covers the cap too (a capped store reopened
+    # uncapped would silently diverge signatures)
+    with pytest.raises(ValueError, match="max_shingle_docs"):
+        IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.5)
+
+
+def test_df_cap_crash_before_dfreq_commit_rolls_forward(spark, tmp_table_dir):
+    """Die after the buckets commit but before the dfreq commit: the next
+    add_batch must rebuild the dangling batch's df deltas from its stored
+    post-cap shingle sets (pure function of durable state)."""
+    header = "copyright notice and this permission notice shall be included in all copies"
+    dd = IncrementalDeduper(
+        spark, tmp_table_dir, k=24, n_bands=8, threshold=0.5,
+        max_shingle_docs=100,
+    )
+    dd.add_batch(_boiler_docs(spark, range(60), header, lambda i: f"u{i} v{i} w{i}"))
+
+    boom = RuntimeError("injected crash before dfreq commit")
+    real_append = dd.dfreq.commit_append
+    dd.dfreq.commit_append = lambda *a, **k: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dd.add_batch(_boiler_docs(spark, range(60, 120), header, lambda i: f"u{i} v{i} w{i}"))
+    dd.dfreq.commit_append = real_append
+    assert int(dd.sigs.properties["batch_seq"]) == 2
+    assert int(dd.dfreq.properties["batch_seq"]) == 1  # dangling
+
+    stats = {}
+    dd.add_batch(_boiler_docs(spark, range(120, 130), header, lambda i: f"u{i} v{i} w{i}"),
+                 stats=stats)
+    assert stats["recovered"] is True
+    assert int(dd.dfreq.properties["batch_seq"]) == 3
+    # stored df for a header shingle == number of docs whose SIGS hold it
+    # (the drifting-belt semantics): batch1 kept it (60 <= 100, delta 60),
+    # batch2 saw 60+60 > 100 and dropped it (delta 0), batch3 saw 60+10
+    # <= 100 and kept it (delta 10) -> 70
+    total = (
+        dd.dfreq.read().groupBy("sh").agg(F.sum("cnt").alias("c"))
+        .agg(F.max("c")).first()[0]
+    )
+    assert total == 70
 
 
 def test_two_batch_parity_portable_tier(spark, docs, tmp_table_dir):

@@ -1,6 +1,7 @@
 """Lake table format: atomic snapshots, bucket pruning, schema evolution."""
 
 import os
+import time
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -292,6 +293,39 @@ def test_vacuum_orphans_reclaims_unreferenced_files_only(spark, tmp_table_dir):
     assert _multiset(t.read()) == before
     # time travel to v1 still works (its files are retained by history)
     assert t.read(version=1).count() == 2
+
+
+def test_vacuum_grace_protects_whole_inflight_staging_dir(spark, tmp_table_dir):
+    """A slow commit stages files minutes apart into ONE attempt dir;
+    vacuum must treat the DIRECTORY as the in-flight unit — an old file
+    sitting next to a freshly-written sibling is part of a commit that
+    may be about to swap, and deleting it would let the swapped snapshot
+    reference a deleted file (corruption, not just lost staging)."""
+    t = LakeTable.create(spark, tmp_table_dir, SCHEMA, num_buckets=2)
+    t.commit_append(
+        _with_bucket(spark.createDataFrame([("r1", "a", 1)], SCHEMA), 2)
+    )
+
+    stage = os.path.join(t.path, "data", "v00000099-cafecafe", "bucket=0")
+    os.makedirs(stage)
+    early = os.path.join(stage, "part-early.snappy.parquet")
+    late = os.path.join(stage, "part-late.snappy.parquet")
+    for p in (early, late):
+        with open(p, "w") as fh:
+            fh.write("junk")
+    old = time.time() - 7200
+    os.utime(early, (old, old))  # staged an hour+ ago; commit still running
+
+    # the young sibling keeps the WHOLE attempt dir protected
+    assert t.vacuum_orphans(grace_seconds=3600) == []
+    assert os.path.exists(early) and os.path.exists(late)
+
+    # once the dir is quiescent past the grace, both go
+    os.utime(late, (old, old))
+    removed = t.vacuum_orphans(grace_seconds=3600)
+    assert sorted(os.path.basename(r) for r in removed) == [
+        "part-early.snappy.parquet", "part-late.snappy.parquet",
+    ]
 
 
 def test_compact_max_records_per_file_bounds_output(spark, tmp_table_dir):
