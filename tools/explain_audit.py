@@ -60,7 +60,24 @@ AUDIT = [
     # composite curation chain: gate + sample must FUSE into the scan
     # (one filter over documents), dedup joins are the only wide stages
     "curation_pipeline",
+    # global top-k over an aggregate: TakeOrderedAndProject, never Sort
+    "top_users_by_value",
 ]
+
+SKEW_NOTE = """
+## Note: adversarial hot-repo skew (bench `skew` section)
+
+The MERGE path's skew story is runtime + planning combined: AQE skew-join
+splitting (session.py) plus the merge stage's explicit repartitioning.
+bench.py replays the same stream with `hot_repo_fraction=0.2` (one repo
+forced to 20% of all events — the monorepo shape). Measured at sf0.1
+(BENCH_r04): hot-stream throughput >= the uniform-Zipf baseline
+(`vs_uniform` ~1.0+; the hot run also benefits from a warm JVM and a
+smaller distinct-key set, so >1 is expected) — i.e. a 20%-hot key does
+NOT serialize the MERGE onto one reducer. The latest-wins aggregate is a
+partial-agg max-of-struct, so the hot key combines map-side before the
+shuffle; the residual reducer skew is split by AQE.
+"""
 
 
 def main() -> None:
@@ -74,6 +91,7 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    out.append(SKEW_NOTE)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH", "PLANS.md")
     with open(path, "w") as fh:
