@@ -137,6 +137,25 @@ def main() -> None:
         dd.add_batch(small).count()
         incremental["dedup_increment_25_docs"] = round(time.time() - t0, 3)
 
+        from embulk_input_mixpanel_spark.operators.incremental_ann import (  # noqa: PLC0415
+            IncrementalANN,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ann = IncrementalANN(spark, os.path.join(work, "incann"), n_centroids=8)
+        t0 = time.time()
+        ann.add_batch(emb)
+        incremental["ann_base_build"] = round(time.time() - t0, 3)
+        small_v = emb.limit(25).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        t0 = time.time()
+        ann.add_batch(small_v)
+        incremental["ann_increment_25_vecs"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ann.topk(query_ids=[0, 1, 2], k=10, n_probe=2).count()
+        incremental["ann_topk_probe"] = round(time.time() - t0, 3)
+
     # ---- adversarial skew replay (separate section: NOT in `value`) ------
     # one repo forced to 20% of the stream — the monorepo hot-key shape.
     # Evidence that AQE skew-join splitting + the merge path's salting keep

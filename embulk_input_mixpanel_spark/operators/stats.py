@@ -40,6 +40,7 @@ def group_percentiles(
     mode: str = "auto",
     accuracy: int = 10_000,
     exact_rows_max: int = DEFAULT_EXACT_ROWS_MAX,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-group percentiles of ``value_col`` with a selectable tier.
 
@@ -47,14 +48,21 @@ def group_percentiles(
     mode='approx' -> F.approx_percentile (GK sketch, rank error <= n/accuracy,
                      map-side mergeable — the at-scale tier)
     mode='auto'   -> exact when the input is under ``exact_rows_max`` rows,
-                     approx otherwise
+                     approx otherwise. NOTE: auto runs ``df.count()`` — an
+                     extra Spark job per call (cheap for a bare parquet
+                     scan, where it answers from footer metadata, but a
+                     full computation for a derived frame). Callers in a
+                     loop, or who already know the cardinality, should
+                     pass ``n_rows`` (used instead of counting) or pick
+                     the tier explicitly.
     """
     if names is None:
         names = [f"p{int(p * 100)}" for p in ps]
     if len(names) != len(ps):
         raise ValueError(f"names ({len(names)}) must match ps ({len(ps)})")
     if mode == "auto":
-        mode = "exact" if df.count() <= exact_rows_max else "approx"
+        n = n_rows if n_rows is not None else df.count()
+        mode = "exact" if n <= exact_rows_max else "approx"
     if mode == "exact":
         aggs = [F.percentile(value_col, p).alias(nm) for p, nm in zip(ps, names)]
     elif mode == "approx":
