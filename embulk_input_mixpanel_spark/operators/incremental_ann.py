@@ -211,8 +211,17 @@ class IncrementalANN:
         centroids and stamp the table with the centroids' epoch — the
         roll-forward half of retrain, also used by recover() when a crash
         or raced writer left assignments behind the centroid epoch. Pure
-        function of durable state, so re-running it is idempotent."""
+        function of durable state, so re-running it is idempotent.
+
+        The rewrite is guarded by the version the corpus was READ at: a
+        concurrent add_batch whose vectors append lands between our read
+        and our rewrite would otherwise be silently erased by the stale
+        full rewrite (its ids append still lands, so its vectors would be
+        forever 'known' yet absent — unrecoverable even by redelivery).
+        On ConcurrentCommitError the epoch mismatch simply persists and
+        the next recover() re-heals it against fresher state."""
         epoch = int(self.cent.properties.get("epoch", 0))
+        vec_v = self.vectors.version
         corpus = self.vectors.read().select("id", "v", "batch_seq")
         newassign = self._score_against_centroids(corpus.select("id", "v")).join(
             corpus.select("id", "batch_seq"), "id"
@@ -224,6 +233,7 @@ class IncrementalANN:
             ),
             touched_buckets=list(range(self.n_centroids)),
             properties={"cent_epoch": epoch},
+            expected_version=vec_v,
         )
 
     def recover(self) -> bool:
@@ -238,15 +248,22 @@ class IncrementalANN:
         vec_seq = int(self.vectors.properties.get("batch_seq", 0))
         id_seq = int(self.ids.properties.get("batch_seq", 0))
         if vec_seq != id_seq:
-            if vec_seq != id_seq + 1:
+            if vec_seq < id_seq:
                 raise RuntimeError(
                     f"ANN store corrupt: vectors at batch {vec_seq}, id index at "
-                    f"{id_seq} — more than one dangling batch should be impossible"
+                    f"{id_seq} — the id index can never run ahead of vectors"
                 )
-            # filter-by-batch_seq, NOT a snapshot file-diff: stays correct
-            # even if a compaction committed after the crash
+            # tolerate ANY lag, not just the single-batch crash window:
+            # lag 1 is the normal die-between-commits case; lag > 1 is a
+            # pre-id-index store whose creation-time backfill crashed
+            # between LakeTable.create and the backfill append (ids stuck
+            # at batch_seq=0 forever). Both heal the same way — the id
+            # rows are a pure projection of the durable vectors rows, so
+            # rebuild everything the index is missing. filter-by-
+            # batch_seq, NOT a snapshot file-diff: stays correct even if
+            # a compaction committed after the crash.
             dangling = self.vectors.read().filter(
-                F.col("batch_seq") == F.lit(vec_seq)
+                F.col("batch_seq") > F.lit(id_seq)
             ).select("id", "batch_seq")
             self.ids.commit_append(
                 dangling.withColumn("bucket", self.ids.bucket_expr("id")),
@@ -388,16 +405,22 @@ class IncrementalANN:
                 .filter(F.col("id").isin([int(i) for i in query_ids]))
                 .select(F.col("id").alias("query_id"), F.col("v").alias("_qv"))
             )
+        # |q| rows; referenced by both the probe subtree and the rescore
+        # join — checkpoint so the corpus scan behind it runs once
+        q = q.localCheckpoint(eager=True)
         qc = F.broadcast(q).join(cent).select(
             "query_id", "centroid_id",
             F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("ccos"),
         )
         wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+        # eager checkpoint: probed feeds BOTH the cluster collect below
+        # (file pruning) and the candidate join — without it the
+        # query x centroid score + window subtree executes twice per probe
         probed = (
             qc.withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= n_probe)
             .select("query_id", F.col("centroid_id").alias("cluster"))
-        )
+        ).localCheckpoint(eager=True)
         # driver collect of <= |q| * n_probe small ints -> file-level pruning
         clusters = sorted({int(r["cluster"]) for r in probed.collect()})
         snap_files = self.vectors.snapshot().files

@@ -173,13 +173,25 @@ class IncrementalDeduper:
             # parameter that shapes the stored signatures (properties a
             # pre-upgrade store never wrote are skipped).
             props = self.sigs.properties
+            mine_cap = max_shingle_docs if max_shingle_docs is not None else "none"
             for name, mine in (
                 ("k", k), ("n_bands", n_bands), ("n", n), ("portable", portable),
-                ("max_shingle_docs",
-                 max_shingle_docs if max_shingle_docs is not None else "none"),
+                ("max_shingle_docs", mine_cap),
             ):
                 stored = props.get(name)
                 if stored is not None and stored != mine:
+                    if name == "max_shingle_docs" and stored == "none" and (
+                        max_shingle_docs is not None
+                    ):
+                        # ENABLING the cap on an uncapped store is a safe
+                        # upgrade: recover()'s tolerant roll-forward
+                        # backfills dfreq from all stored signature sets
+                        # (the cap is a drifting belt by design — already-
+                        # stored sigs legitimately keep their uncapped
+                        # shingles). Disabling or CHANGING a cap stays an
+                        # error: the stored value below is re-stamped so
+                        # later reopens validate against the new cap.
+                        continue
                     raise ValueError(
                         f"store at {self.path} was created with {name}={stored}; "
                         f"reopening with {name}={mine} would desynchronize new "
@@ -195,6 +207,23 @@ class IncrementalDeduper:
                 spark, df_path, _DFREQ_SCHEMA, num_buckets=num_buckets,
                 properties={"batch_seq": 0},
             )
+            if int(self.sigs.properties.get("batch_seq", 0)) > 0:
+                # cap enabled on a pre-existing store (upgrade): stamp the
+                # cap into sigs properties so later reopens validate
+                # against it (a rows-free append is a properties-only
+                # commit). The df backfill itself is recover()'s tolerant
+                # roll-forward — it runs before the next batch touches
+                # dfreq and is crash-safe because the deltas are a pure
+                # function of the stored sigs.
+                self.sigs.commit_append(
+                    spark.createDataFrame([], self.sigs.schema).withColumn(
+                        "bucket", F.lit(0)
+                    ),
+                    properties={
+                        "max_shingle_docs": max_shingle_docs
+                        if max_shingle_docs is not None else "none"
+                    },
+                )
 
     # ------------------------------------------------------------ internals
 
@@ -241,15 +270,26 @@ class IncrementalDeduper:
         if self.dfreq is not None:
             df_seq = int(self.dfreq.properties.get("batch_seq", 0))
             if df_seq != sig_seq:
-                if df_seq != sig_seq - 1:
+                if df_seq > sig_seq:
                     raise RuntimeError(
                         f"dedup store corrupt: sigs at batch {sig_seq}, dfreq at "
-                        f"{df_seq} — more than one dangling batch should be impossible"
+                        f"{df_seq} — the df table can never run ahead of sigs"
                     )
-                # deltas are a pure function of the stored POST-cap sets
+                # tolerate ANY lag, not just the single-batch crash
+                # window: lag 1 is the normal die-between-commits case;
+                # lag > 1 is the cap-enable UPGRADE path — a pre-upgrade
+                # store (ingested without max_shingle_docs) reopened with
+                # the cap gets a fresh dfreq at batch_seq=0, and this
+                # roll-forward backfills it from ALL stored signature
+                # sets. Deltas are a pure function of the stored POST-cap
+                # sets either way (pre-upgrade sigs were computed
+                # uncapped, so the backfilled df correctly counts the
+                # boilerplate shingles those docs kept); readers only SUM
+                # cnt per sh, so one combined delta stamped sig_seq is
+                # exactly equivalent to the per-batch deltas it replaces.
                 delta = (
                     self.sigs.read()
-                    .filter(F.col("batch_seq") == F.lit(sig_seq))
+                    .filter(F.col("batch_seq") > F.lit(df_seq))
                     .select(F.explode("shs").alias("sh"))
                     .groupBy("sh")
                     .agg(F.count("*").alias("cnt"))

@@ -252,6 +252,92 @@ def test_retrain_racing_ingest_converges(spark, emb, tmp_table_dir):
     assert ann.topk(query_ids=[0, 1], k=3, n_probe=8).count() == 6
 
 
+def test_recover_tolerates_multi_batch_id_lag(spark, emb, tmp_table_dir):
+    """ADVICE r4: a pre-id-index store whose creation-time backfill
+    crashed leaves ids stuck at batch_seq=0 with vectors several batches
+    ahead — a healable state that must NOT be a permanent fail-stop.
+    recover() rebuilds every missing batch's id rows from the durable
+    vectors rows (filter batch_seq > id_seq), preserving per-row
+    lineage."""
+    import os
+    import shutil
+
+    from embulk_input_mixpanel_spark.operators.incremental_ann import _ID_SCHEMA
+    from embulk_input_mixpanel_spark.sources.lake import LakeTable
+
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    for m in range(3):
+        ann.add_batch(emb.filter(f"vec_id % 3 = {m}"))
+    total = emb.count()
+
+    # simulate the crashed-backfill state: an ids table that exists but
+    # never advanced past creation
+    ids_path = os.path.join(ann.path, "ids")
+    shutil.rmtree(ids_path)
+    LakeTable.create(spark, ids_path, _ID_SCHEMA, num_buckets=32,
+                     properties={"batch_seq": 0})
+
+    ann2 = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    assert int(ann2.ids.properties["batch_seq"]) == 0  # exists() skipped backfill
+    assert ann2.recover() is True
+    assert int(ann2.ids.properties["batch_seq"]) == 3
+    assert ann2.ids.read().count() == total
+    # per-row lineage: each rebuilt row keeps its ORIGINAL batch_seq
+    assert ann2.ids.read().select("batch_seq").distinct().count() == 3
+    # the healed index filters redelivery again
+    assert ann2.add_batch(emb.filter("vec_id % 3 = 0")) == 0
+
+
+def test_recover_reassign_never_erases_raced_append(spark, emb, tmp_table_dir):
+    """ADVICE r4: a recover()-triggered reassign racing a concurrent
+    add_batch must NOT publish its full rewrite over the racer's freshly
+    appended vectors (the racer's ids append lands, so its vectors would
+    be forever 'known' yet absent — silent unrecoverable loss). The
+    rewrite now carries the version the corpus was read at and aborts;
+    the next recover() heals against fresher state."""
+    from embulk_input_mixpanel_spark.sources.lake import ConcurrentCommitError
+
+    half = emb.agg(F.max("vec_id")).first()[0] // 2
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    ann.add_batch(emb.filter(F.col("vec_id") <= half))
+
+    # simulate a crashed/aborted retrain: centroids advanced one epoch,
+    # stored assignments lag behind
+    ann._train_from(ann.vectors.read().select("id", "v"))
+    assert int(ann.cent.properties["epoch"]) > int(
+        ann.vectors.properties["cent_epoch"]
+    )
+
+    racer = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    late = emb.filter(F.col("vec_id") > half)
+    real_rewrite = ann.vectors.commit_rewrite
+
+    def inject(df, *a, **kw):
+        # the racer's ingest lands between our corpus read and our rewrite
+        ann.vectors.commit_rewrite = real_rewrite
+        racer.add_batch(late)
+        return real_rewrite(df, *a, **kw)
+
+    ann.vectors.commit_rewrite = inject
+    with pytest.raises(ConcurrentCommitError):
+        ann.recover()
+    ann.vectors.commit_rewrite = real_rewrite
+
+    # the racer's rows survived (pre-fix: erased by the stale rewrite)
+    assert ann.vectors.read().count() == emb.count()
+    ann.recover()  # heals whatever mismatch remains
+    assert int(ann.vectors.properties["cent_epoch"]) == int(
+        ann.cent.properties["epoch"]
+    )
+    assert ann.vectors.read().count() == emb.count()
+    assert ann.ids.read().count() == emb.count()
+    # every id the index knows has a living vector row (the loss mode)
+    missing = ann.ids.read().select("id").join(
+        ann.vectors.read().select("id"), "id", "left_anti"
+    )
+    assert missing.count() == 0
+
+
 def test_streaming_feed_drives_incremental_ann(spark, emb, tmp_table_dir, tmp_path):
     """Deployment symmetry with the dedup store: a Structured-Streaming
     tail feeds the ANN index one micro-batch at a time; the resulting

@@ -350,6 +350,59 @@ def test_df_cap_crash_before_dfreq_commit_rolls_forward(spark, tmp_table_dir):
     assert total == 70
 
 
+def test_cap_enable_upgrade_backfills_dfreq(spark, tmp_table_dir):
+    """ADVICE r4: enabling max_shingle_docs on a store ingested WITHOUT
+    the cap used to brick recover() ('dedup store corrupt' whenever sigs
+    batch_seq >= 2). The upgrade now works: reopen-with-cap creates
+    dfreq, stamps the cap, and the next add_batch's recover() backfills
+    the df deltas from ALL stored signature sets — so boilerplate that is
+    already corpus-hot is dropped from the very first post-upgrade
+    batch's signatures."""
+    header = (
+        "permission is hereby granted free of charge to any person obtaining "
+        "a copy of this software and associated documentation files to deal "
+        "in the software without restriction"
+    )
+    uniq = lambda i: (
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+    )
+    corpus = _boiler_docs(spark, range(600), header, uniq)
+
+    dd0 = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.5)
+    dd0.add_batch(corpus.filter("doc_id < 300"))
+    dd0.add_batch(corpus.filter("doc_id >= 300"))
+
+    # the upgrade reopen (pre-fix: ValueError / bricked recover)
+    dd = IncrementalDeduper(
+        spark, tmp_table_dir, k=24, n_bands=8, threshold=0.5,
+        max_shingle_docs=100,
+    )
+    assert int(dd.dfreq.properties["batch_seq"]) == 0
+    # the cap is stamped: a DIFFERENT cap (or uncapped) reopen now raises
+    with pytest.raises(ValueError, match="max_shingle_docs"):
+        IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8,
+                           threshold=0.5, max_shingle_docs=50)
+    with pytest.raises(ValueError, match="max_shingle_docs"):
+        IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.5)
+
+    # two post-upgrade clones of each other: their signatures drop the
+    # (backfilled-hot) header, so they pair on their shared tail alone —
+    # and the candidate set stays tiny instead of the 600-doc blowup
+    newbies = _boiler_docs(spark, [10_001, 10_002], header, lambda i: uniq(7777))
+    stats = {}
+    pairs = _pairs(dd.add_batch(newbies, stats=stats))
+    assert stats["recovered"] is True
+    assert int(dd.dfreq.properties["batch_seq"]) == 3
+    assert stats["n_candidates"] <= 5, stats
+    assert pairs == {(10_001, 10_002): 1.0}
+    # backfilled df counts every stored doc holding the header shingles
+    top_df = (
+        dd.dfreq.read().groupBy("sh").agg(F.sum("cnt").alias("c"))
+        .agg(F.max("c")).first()[0]
+    )
+    assert top_df == 600
+
+
 def test_two_batch_parity_portable_tier(spark, docs, tmp_table_dir):
     """The md5-affine portable hash tier satisfies the same union==one-shot
     contract as the xxhash64 engine tier (both tiers share the store
