@@ -27,12 +27,30 @@ from .operators.merge import latest_wins
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# Auxiliary registry: queries whose operator surface is SUBSUMED by a main
+# entry (their SQL is literally a CTE of the retained query's oracle) but
+# that remain independently oracle-checkable via tools/check_oracle.py.
+# Kept out of queries() so the driver's 50-row gate attests every main
+# entry with zero rotation (VERDICT r4 #1).
+AUX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+AUX_ORACLE_SQL: dict[str, str] = {}
+
 
 def _q(name: str, sql: str | None):
     def deco(fn):
         SPARK_QUERIES[name] = fn
         if sql is not None:
             ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _q_aux(name: str, sql: str | None):
+    def deco(fn):
+        AUX_QUERIES[name] = fn
+        if sql is not None:
+            AUX_ORACLE_SQL[name] = sql
         return fn
 
     return deco
@@ -200,15 +218,27 @@ def cdc_replay_latest_state(spark, sf_dir):
 @_q(
     "flatten_props",
     """
-    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS p_k
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS p_k,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+           CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS unix_ms,
+           CAST(hour(ts) AS BIGINT) AS hour_utc,
+           strftime(ts, '%Y-%m-%d') AS day_utc
     FROM events
     """,
 )
 def flatten_props(spark, sf_dir):
-    """Nested-JSON field promotion to a typed column
-    (reference: export_service.rb:245-255 — P2/F8)."""
-    return load(spark, sf_dir, "events").select(
-        "event_id", F.get_json_object("props", "$.k").cast("long").alias("p_k")
+    """Nested-JSON field promotion to a typed column, fused with the
+    epoch/timezone normalization family (P2/F8 + F1/F3/F6 analogs;
+    session is pinned UTC so both engines agree on wall-clock
+    decomposition — reference: export_service.rb:245-255)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("p_k"),
+        F.unix_timestamp("ts").alias("unix_s"),
+        (F.unix_timestamp("ts") * 1000).alias("unix_ms"),
+        F.hour("ts").cast("long").alias("hour_utc"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_utc"),
     )
 
 
@@ -798,7 +828,7 @@ def dedup_keep_best_q(spark, sf_dir):
 _MINHASH_K = 8
 
 
-@_q(
+@_q_aux(
     "minhash_signatures",
     f"""
     WITH sh AS ({_shingles_sql()})
@@ -809,7 +839,8 @@ _MINHASH_K = 8
 def minhash_signatures_q(spark, sf_dir):
     """MinHash signatures, k=8, one groupBy pass + ONE md5 per shingle
     (portable tier; the engine tier is xxhash64-based, zero crypto —
-    operators/dedup.py::minhash_signatures)."""
+    operators/dedup.py::minhash_signatures). AUX: this exact computation
+    is the input CTE of minhash_lsh_candidates' gate entry."""
     from .operators.dedup import minhash_signatures
 
     return minhash_signatures(
@@ -1023,7 +1054,7 @@ def sql_pushdown_param(spark, sf_dir):
     )
 
 
-@_q(
+@_q_aux(
     "epoch_normalize",
     """
     SELECT event_id,
@@ -1036,7 +1067,8 @@ def sql_pushdown_param(spark, sf_dir):
 )
 def epoch_normalize(spark, sf_dir):
     """Epoch/timezone normalization family (F1/F3/F6 analogs; session is
-    pinned UTC so both engines agree on wall-clock decomposition)."""
+    pinned UTC so both engines agree on wall-clock decomposition). AUX:
+    these columns are fused into flatten_props' gate entry."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -1218,10 +1250,12 @@ def ivf_kmeans_refined_q(spark, sf_dir):
     return ivf_refine_assign(load(spark, sf_dir, "embeddings"), n_centroids=8)
 
 
-@_q("ivf_assign", _IVF_ASSIGN_SQL)
+@_q_aux("ivf_assign", _IVF_ASSIGN_SQL)
 def ivf_assign_q(spark, sf_dir):
     """IVF partition step: nearest-centroid assignment (the ANN scale
-    path's shuffle key; operators/similarity.py::ivf_assign)."""
+    path's shuffle key; operators/similarity.py::ivf_assign). AUX: this
+    exact SQL is a CTE of both ivf_kmeans_refined and ivf_topk's gate
+    entries."""
     from .operators.similarity import ivf_assign
 
     return ivf_assign(load(spark, sf_dir, "embeddings"), n_centroids=8)

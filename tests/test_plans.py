@@ -9,8 +9,11 @@ path contains no Python row UDFs.
 from embulk_input_mixpanel_spark import workloads
 
 
+_ALL_QUERIES = {**workloads.SPARK_QUERIES, **workloads.AUX_QUERIES}
+
+
 def _plan(spark, name, sf_dir="/root/testdata/sf0.001"):
-    df = workloads.SPARK_QUERIES[name](spark, sf_dir)
+    df = _ALL_QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -22,8 +25,9 @@ def test_bounds_filter_pushed_to_scan(spark):
 
 def test_column_pruning_in_readschema(spark):
     plan = _plan(spark, "flatten_props")
-    # only the two referenced columns are read from parquet
-    assert "ReadSchema: struct<event_id:bigint,props:string>" in plan
+    # only the three referenced columns are read from parquet (the query
+    # also carries the fused epoch-normalization family over ts)
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,props:string>" in plan
 
 
 def test_dim_join_broadcasts(spark):
@@ -39,9 +43,10 @@ def test_latest_wins_is_partial_aggregate_not_window(spark):
 
 
 def test_no_python_udf_no_cartesian_in_any_query_plan(spark):
-    """EVERY registered query (CDC + relational + training-data family)
+    """EVERY registered query (CDC + relational + training-data family,
+    including the aux entries kept out of the driver's 50-row gate)
     stays JVM-side and never degenerates to a CartesianProduct."""
-    for name in workloads.SPARK_QUERIES:
+    for name in _ALL_QUERIES:
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name

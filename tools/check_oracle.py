@@ -91,6 +91,19 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # aux entries (subsumed by a main entry's oracle CTE, kept out of the
+    # driver's 50-row gate) run when explicitly named or with --aux
+    from embulk_input_mixpanel_spark import workloads
+
+    if "--aux" in only:
+        only.discard("--aux")
+        qs = {**qs, **workloads.AUX_QUERIES}
+        oracles = {**oracles, **workloads.AUX_ORACLE_SQL}
+    else:
+        for name in only & set(workloads.AUX_QUERIES):
+            qs[name] = workloads.AUX_QUERIES[name]
+            if name in workloads.AUX_ORACLE_SQL:
+                oracles[name] = workloads.AUX_ORACLE_SQL[name]
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
