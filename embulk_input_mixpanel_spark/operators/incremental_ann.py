@@ -31,6 +31,10 @@ Three lake tables:
   at any corpus size (the structure ``vectors`` itself cannot provide:
   it is bucketed by cluster, which a new vector's id says nothing
   about). Mirrors IncrementalDeduper's sigs-table pruning.
+- ``deleted`` (id long, batch_seq long), bucket = id — the takedown
+  registry: :meth:`delete` appends ids O(batch); probes mask them
+  immediately; :meth:`purge_deleted` / :meth:`retrain` drop the vector
+  rows physically. Rows are kept forever (no-reingest memory).
 
 Crash consistency (:meth:`recover`, called at the top of
 :meth:`add_batch` and :meth:`maintain`):
@@ -93,6 +97,17 @@ _ID_SCHEMA = T.StructType(
     ]
 )
 
+# takedown registry (same shape as the deduper's): ids whose vectors are
+# deleted. Rows kept forever (no-reingest memory; the ids table already
+# blocks re-ingest of previously-stored ids, but a PRE-emptive delete of a
+# not-yet-delivered id must block too); purged_seq tracks physical purging.
+_DELETED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("batch_seq", T.LongType()),
+    ]
+)
+
 
 def _argmax_centroid(scored: DataFrame) -> DataFrame:
     """(id, centroid_id, cos_r) -> best centroid per id, as a partial-agg
@@ -128,9 +143,11 @@ class IncrementalANN:
         cent_path = os.path.join(self.path, "cent")
         vec_path = os.path.join(self.path, "vectors")
         ids_path = os.path.join(self.path, "ids")
+        del_path = os.path.join(self.path, "deleted")
         self.cent = LakeTable(spark, cent_path)
         self.vectors = LakeTable(spark, vec_path)
         self.ids = LakeTable(spark, ids_path)
+        self.deleted = LakeTable(spark, del_path)
         if not self.cent.exists():
             self.cent = LakeTable.create(
                 spark, cent_path, _CENT_SCHEMA, num_buckets=1,
@@ -164,6 +181,14 @@ class IncrementalANN:
                     rows.withColumn("bucket", self.ids.bucket_expr("id")),
                     properties={"batch_seq": vec_seq},
                 )
+        if not self.deleted.exists():
+            # same num_buckets as ids so the batch's id-bucket list prunes
+            # both the known-id and the takedown reads with one job
+            self.deleted = LakeTable.create(
+                spark, del_path, _DELETED_SCHEMA,
+                num_buckets=self.ids.num_buckets,
+                properties={"batch_seq": 0, "purged_seq": 0},
+            )
 
     # ------------------------------------------------------------ internals
 
@@ -222,7 +247,13 @@ class IncrementalANN:
         the next recover() re-heals it against fresher state."""
         epoch = int(self.cent.properties.get("epoch", 0))
         vec_v = self.vectors.version
-        corpus = self.vectors.read().select("id", "v", "batch_seq")
+        # anti-join the takedown registry: the full rewrite doubles as a
+        # physical purge of deleted vectors
+        corpus = (
+            self.vectors.read()
+            .join(self.deleted.read().select("id"), "id", "left_anti")
+            .select("id", "v", "batch_seq")
+        )
         newassign = self._score_against_centroids(corpus.select("id", "v")).join(
             corpus.select("id", "batch_seq"), "id"
         )
@@ -305,7 +336,12 @@ class IncrementalANN:
         # never the whole corpus' id files
         batch_id_buckets = lake_buckets_of(vecs, self.ids, "id")
         ids_snap = self.ids.snapshot()
-        known = self.ids.read(buckets=batch_id_buckets).select("id")
+        # known = stored ids UNION deleted ids (same num_buckets, so one
+        # pruned bucket list serves both): a redelivered DELETED vector —
+        # or one deleted ahead of delivery — never enters the store
+        known = self.ids.read(buckets=batch_id_buckets).select("id").unionByName(
+            self.deleted.read(buckets=batch_id_buckets).select("id")
+        )
         vecs = vecs.join(known, "id", "left_anti").localCheckpoint(eager=True)
         n = vecs.count()
         if stats is not None:
@@ -369,6 +405,93 @@ class IncrementalANN:
             stats.update(n_new=n, batch_seq=batch_seq)
         return n
 
+    # ------------------------------------------------------------- takedown
+
+    def delete(self, ids, id_col: str = "vec_id") -> int:
+        """Take down vectors: logically delete them from the index.
+
+        O(delete batch): one bucket-pruned idempotence anti-join + one
+        atomic append to the ``deleted`` registry. Effective immediately:
+        probes stop returning the vectors (as neighbors OR queries), a
+        redelivered deleted vector is never re-ingested, and the next
+        :meth:`retrain` / :meth:`purge_deleted` / epoch reassign drops the
+        rows physically. Deletion is terminal for an id (the registry is
+        the no-reingest memory — same role as the CDC table's op='D'
+        tombstones, operators/merge.py).
+
+        ``ids``: DataFrame carrying ``id_col``, or an iterable of ints.
+        Returns the number of ids newly recorded."""
+        if isinstance(ids, DataFrame):
+            want = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+        else:
+            want = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "id BIGINT"
+            ).distinct()
+        del_v = self.deleted.version
+        seq = int(self.deleted.properties.get("batch_seq", 0)) + 1
+        pruned = lake_buckets_of(want, self.deleted, "id")
+        already = self.deleted.read(buckets=pruned).select("id")
+        fresh = want.join(already, "id", "left_anti").localCheckpoint(eager=True)
+        n = fresh.count()
+        if n == 0:
+            return 0
+        self.deleted.commit_append(
+            fresh.select("id", F.lit(seq).cast("long").alias("batch_seq"))
+            .withColumn("bucket", self.deleted.bucket_expr("id")),
+            properties={"batch_seq": seq},
+            expected_version=del_v,
+        )
+        return n
+
+    def purge_deleted(self) -> dict[str, int]:
+        """Physically drop deleted ids' vector rows (CoW of only the
+        clusters that hold them). The locating scan reads just the
+        (id, cluster) columns of the corpus — a vector's cluster is not
+        derivable from its id, so a columnar scan is the honest cost of a
+        TARGETED purge (retrain purges for free as a full rewrite).
+        Idempotent and crash-safe without a recovery protocol: logical
+        reads are already masked and ``purged_seq`` (advanced last) only
+        skips work. ``ids`` rows are retained as no-reingest memory."""
+        self.recover()
+        del_seq = int(self.deleted.properties.get("batch_seq", 0))
+        purged = int(self.deleted.properties.get("purged_seq", 0))
+        out = {"purged_ids": 0, "vector_buckets_rewritten": 0}
+        if del_seq == purged:
+            return out
+        targets = (
+            self.deleted.read()
+            .filter(F.col("batch_seq") > F.lit(purged))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        hit = (
+            self.vectors.read()
+            .select("id", "cluster")
+            .join(targets, "id", "left_semi")
+            .select("cluster")
+            .distinct()
+        )
+        clusters = sorted(int(r["cluster"]) for r in hit.collect())
+        if clusters:
+            keep = self.vectors.read(buckets=clusters).join(
+                targets, "id", "left_anti"
+            )
+            self.vectors.commit_rewrite(
+                keep.withColumn("bucket", F.col("cluster")),
+                touched_buckets=clusters,
+            )
+            out.update(
+                purged_ids=targets.count(),
+                vector_buckets_rewritten=len(clusters),
+            )
+        self.deleted.commit_append(
+            self.spark.createDataFrame([], self.deleted.schema).withColumn(
+                "bucket", F.lit(0)
+            ),
+            properties={"purged_seq": del_seq},
+        )
+        return out
+
     # ---------------------------------------------------------------- query
 
     def topk(
@@ -405,6 +528,11 @@ class IncrementalANN:
                 .filter(F.col("id").isin([int(i) for i in query_ids]))
                 .select(F.col("id").alias("query_id"), F.col("v").alias("_qv"))
             )
+        # takedown mask: deleted vectors neither serve as queries nor
+        # appear as neighbors (pre-purge their rows still exist in
+        # `vectors`; the registry is small, AQE broadcasts the anti-join)
+        gone = self.deleted.read().select("id")
+        q = q.join(gone.withColumnRenamed("id", "query_id"), "query_id", "left_anti")
         # |q| rows; referenced by both the probe subtree and the rescore
         # join — checkpoint so the corpus scan behind it runs once
         q = q.localCheckpoint(eager=True)
@@ -426,6 +554,8 @@ class IncrementalANN:
         snap_files = self.vectors.snapshot().files
         cand_src = self.vectors.read(buckets=clusters).select(
             "cluster", F.col("id").alias("neighbor_id"), F.col("v").alias("_nv")
+        ).join(
+            gone.withColumnRenamed("id", "neighbor_id"), "neighbor_id", "left_anti"
         )
         scored = (
             probed.join(cand_src, "cluster")
@@ -468,7 +598,13 @@ class IncrementalANN:
 
         self.recover()
         vec_v = self.vectors.version
-        corpus = self.vectors.read().select("id", "v", "batch_seq")
+        # takedowns are excluded from training AND physically dropped by
+        # the rewrite (retrain doubles as a full purge)
+        corpus = (
+            self.vectors.read()
+            .join(self.deleted.read().select("id"), "id", "left_anti")
+            .select("id", "v", "batch_seq")
+        )
         assign = ivf_refine_assign(
             corpus.select("id", "v"), n_centroids=self.n_centroids,
             id_col="id", vec_col="v", iters=iters,
@@ -514,9 +650,11 @@ class IncrementalANN:
         FIRST (compacting across a dangling batch would otherwise leave
         the roll-forward to misread history), then compact per-batch
         append files + expire superseded snapshots (same valve as
-        IncrementalDeduper.maintain)."""
+        IncrementalDeduper.maintain). Pending takedowns are physically
+        purged before compaction."""
         recovered = self.recover()
         out: dict[str, Any] = {"recovered": recovered}
+        out.update(self.purge_deleted())
         _, st = self.vectors.compact(min_files=max_files_per_bucket + 1)
         expired = self.vectors.expire_snapshots(keep_last=keep_snapshots)
         out.update(

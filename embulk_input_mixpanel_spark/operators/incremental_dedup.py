@@ -20,6 +20,12 @@ atomic commits, time travel, bucket-pruned reads):
   when ``max_shingle_docs`` is set): append-only per-batch document-
   frequency deltas, summed on read, pruned to the batch's shingle
   universe. The persistent belt against boilerplate shingles.
+- ``deleted`` (id, batch_seq), bucketed by id — the takedown registry
+  (license removal / PII): :meth:`delete` appends ids O(batch); every
+  read path masks them immediately; :meth:`purge_deleted` (run by
+  maintain) physically drops their rows via CoW of only the affected
+  buckets. Rows are kept forever — they double as the no-reingest
+  memory, the store-level analog of the CDC table's op='D' tombstones.
 
 Cost model per batch (the 100 TB story): shingling/hashing is O(batch)
 (the expensive text explosion never re-touches old docs); the index join
@@ -119,6 +125,16 @@ _DFREQ_SCHEMA = T.StructType(
     ]
 )
 
+# takedown registry: ids whose docs are deleted from the store. Rows are
+# kept FOREVER (they double as the no-reingest memory); purged_seq in the
+# table properties tracks how far physical purging has caught up.
+_DELETED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("batch_seq", T.LongType()),
+    ]
+)
+
 
 class IncrementalDeduper:
     """Persistent MinHash-LSH dedup state + per-batch ingest.
@@ -153,8 +169,10 @@ class IncrementalDeduper:
         sig_path = os.path.join(self.path, "sigs")
         buck_path = os.path.join(self.path, "buckets")
         df_path = os.path.join(self.path, "dfreq")
+        del_path = os.path.join(self.path, "deleted")
         self.sigs = LakeTable(spark, sig_path)
         self.buckets = LakeTable(spark, buck_path)
+        self.deleted = LakeTable(spark, del_path)
         self.dfreq = LakeTable(spark, df_path) if max_shingle_docs is not None else None
         if not self.sigs.exists():
             self.sigs = LakeTable.create(
@@ -201,6 +219,15 @@ class IncrementalDeduper:
             self.buckets = LakeTable.create(
                 spark, buck_path, _BUCKET_SCHEMA, num_buckets=num_buckets,
                 properties={"batch_seq": 0},
+            )
+        if not self.deleted.exists():
+            # same num_buckets as sigs ON PURPOSE: a batch's id-bucket
+            # list prunes BOTH tables, so the takedown mask adds zero
+            # extra driver jobs to the hot ingest path
+            self.deleted = LakeTable.create(
+                spark, del_path, _DELETED_SCHEMA,
+                num_buckets=self.sigs.num_buckets,
+                properties={"batch_seq": 0, "purged_seq": 0},
             )
         if self.dfreq is not None and not self.dfreq.exists():
             self.dfreq = LakeTable.create(
@@ -324,8 +351,12 @@ class IncrementalDeduper:
         Any dangling batch is rolled forward FIRST: compacting across a
         crash window would otherwise commit a new sigs snapshot while the
         band index still lacks the dangling batch's rows — and the
-        recovery must run before maintenance mutates the store it reads."""
+        recovery must run before maintenance mutates the store it reads.
+        Pending takedowns are then physically purged (see
+        :meth:`purge_deleted`) before compaction, so the compacted files
+        no longer carry deleted docs' rows."""
         out: dict[str, int] = {"recovered": int(self.recover())}
+        out.update(self.purge_deleted())
         tables = [("sigs", self.sigs), ("buckets", self.buckets)]
         if self.dfreq is not None:
             tables.append(("dfreq", self.dfreq))
@@ -336,6 +367,144 @@ class IncrementalDeduper:
             out[f"{name}_files_in"] = st["files_in"]
             out[f"{name}_files_out"] = st["files_out"]
             out[f"{name}_files_expired"] = len(expired)
+        return out
+
+    # ------------------------------------------------------------- takedown
+
+    def delete(self, ids, id_col: str = "doc_id") -> int:
+        """Take down documents: logically delete them from the store.
+
+        O(delete batch): one bucket-pruned idempotence anti-join + one
+        atomic append to the ``deleted`` registry — never a rewrite of
+        corpus state on the takedown path (the physical drop is
+        :meth:`purge_deleted`, a maintenance operation). Effective
+        immediately on every read path: deleted docs stop appearing in
+        new pairs (add_batch) and re-derived pairs (redelivered_pairs),
+        and a redelivered deleted doc is NOT re-ingested (deletion is
+        terminal for an id — the registry doubles as the no-reingest
+        memory, mirroring how the CDC table's op='D' tombstones keep
+        out-of-order deletes effective, operators/merge.py).
+
+        ``ids``: a DataFrame carrying ``id_col``, or an iterable of ints.
+        Returns the number of ids newly recorded (already-deleted and
+        never-ingested ids are accepted and deduped — deleting ahead of
+        delivery blocks the doc from ever entering the store)."""
+        if isinstance(ids, DataFrame):
+            want = ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+        else:
+            want = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "id BIGINT"
+            ).distinct()
+        del_v = self.deleted.version
+        seq = int(self.deleted.properties.get("batch_seq", 0)) + 1
+        pruned = self._lake_buckets_of(want, self.deleted, "id")
+        already = self.deleted.read(buckets=pruned).select("id")
+        fresh = want.join(already, "id", "left_anti").localCheckpoint(eager=True)
+        n = fresh.count()
+        if n == 0:
+            return 0
+        self.deleted.commit_append(
+            fresh.select("id", F.lit(seq).cast("long").alias("batch_seq"))
+            .withColumn("bucket", self.deleted.bucket_expr("id")),
+            properties={"batch_seq": seq},
+            expected_version=del_v,
+        )
+        return n
+
+    def purge_deleted(self) -> dict[str, int]:
+        """Physically drop deleted docs' rows from ``sigs`` and the band
+        index (logical deletion already happened at :meth:`delete`; this
+        reclaims space, restores band-bucket occupancy for the size cap,
+        and keeps the mask anti-joins cheap). Run from :meth:`maintain`.
+
+        Copy-on-write of ONLY the affected lake buckets; `deleted` rows
+        are retained (no-reingest memory) and negative df deltas are
+        appended so the persistent df-cap stops counting purged docs.
+        Idempotent and crash-safe WITHOUT a recovery protocol: logical
+        reads are already masked, every step is a pure function of
+        durable state, and the ``purged_seq`` watermark (advanced last)
+        only skips work, never changes results. Band-index rows are
+        located from the sigs mh columns, so the index purge runs BEFORE
+        the sigs purge; a crash in between leaves dangling index rows
+        that the NEXT purge cannot locate — they are harmless (masked
+        candidates die at the rescore join) and vanish at the next
+        bucket-cap-triggering rewrite or store rebuild."""
+        self.recover()
+        del_seq = int(self.deleted.properties.get("batch_seq", 0))
+        purged = int(self.deleted.properties.get("purged_seq", 0))
+        out = {"purged_ids": 0, "sig_buckets_rewritten": 0,
+               "index_buckets_rewritten": 0}
+        if del_seq == purged:
+            return out
+        targets = (
+            self.deleted.read()
+            .filter(F.col("batch_seq") > F.lit(purged))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        n = targets.count()
+        if n:
+            sig_buckets = self._lake_buckets_of(targets, self.sigs, "id")
+            dsigs = (
+                self.sigs.read(buckets=sig_buckets)
+                .join(targets, "id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            # 1) band index (needs the sigs mh columns, so it goes first)
+            keys = self._band_index_rows(dsigs.drop("batch_seq"), 0).select("band", "bk")
+            idx_buckets = self._lake_buckets_of(keys, self.buckets, "band", "bk")
+            if idx_buckets:
+                keep = self.buckets.read(buckets=idx_buckets).join(
+                    targets, "id", "left_anti"
+                )
+                self.buckets.commit_rewrite(
+                    keep.withColumn(
+                        "bucket", self.buckets.bucket_expr("band", "bk")
+                    ),
+                    touched_buckets=idx_buckets,
+                )
+            # 2) sigs (after this, a crash-rerun finds no dsigs rows, so
+            #    step 3 can never double-subtract)
+            if sig_buckets:
+                keep = self.sigs.read(buckets=sig_buckets).join(
+                    targets, "id", "left_anti"
+                )
+                self.sigs.commit_rewrite(
+                    keep.withColumn("bucket", self.sigs.bucket_expr("id")),
+                    touched_buckets=sig_buckets,
+                )
+            # 3) negative df deltas from the purged docs' post-cap sets
+            #    (dsigs was checkpointed BEFORE the sigs rewrite). A crash
+            #    between step 2 and here under-subtracts — the df then
+            #    overcounts, which only makes the cap belt more
+            #    conservative; the reverse order could double-subtract and
+            #    resurrect boilerplate, which loses recall.
+            if self.dfreq is not None:
+                neg = (
+                    dsigs.select(F.explode("shs").alias("sh"))
+                    .groupBy("sh")
+                    .agg((-F.count("*")).alias("cnt"))
+                    .withColumn(
+                        "batch_seq",
+                        F.lit(int(self.dfreq.properties.get("batch_seq", 0))).cast("long"),
+                    )
+                )
+                self.dfreq.commit_append(
+                    neg.withColumn("bucket", self.dfreq.bucket_expr("sh")),
+                )
+            out.update(
+                purged_ids=n,
+                sig_buckets_rewritten=len(sig_buckets),
+                index_buckets_rewritten=len(idx_buckets),
+            )
+        # advance the watermark LAST (a crash before this line re-runs the
+        # purge, which is a no-op over already-purged rows)
+        self.deleted.commit_append(
+            self.spark.createDataFrame([], self.deleted.schema).withColumn(
+                "bucket", F.lit(0)
+            ),
+            properties={"purged_seq": del_seq},
+        )
         return out
 
     # ----------------------------------------------------------- redelivery
@@ -377,6 +546,12 @@ class IncrementalDeduper:
         mine = (
             self.sigs.read(buckets=id_lake_buckets)
             .join(ids, "id", "left_semi")
+            # takedown mask: a deleted doc's original pairs are not
+            # re-derivable (its content is logically gone)
+            .join(
+                self.deleted.read(buckets=id_lake_buckets).select("id"),
+                "id", "left_anti",
+            )
             .localCheckpoint(eager=True)
         )
         seqs = sorted(
@@ -419,6 +594,10 @@ class IncrementalDeduper:
         csigs = (
             self.sigs.read(buckets=cand_lake_buckets)
             .join(cids, "id", "left_semi")
+            .join(
+                self.deleted.read(buckets=cand_lake_buckets).select("id"),
+                "id", "left_anti",
+            )
             .select("id", "shs", "batch_seq")
         )
         a = csigs.select(
@@ -468,7 +647,13 @@ class IncrementalDeduper:
 
         ids = docs.select(F.col(id_col).cast("long").alias("id"))
         id_lake_buckets = self._lake_buckets_of(ids, self.sigs, "id")
-        known = self.sigs.read(buckets=id_lake_buckets).select("id")
+        # known = stored ids UNION deleted ids (deleted shares sigs'
+        # num_buckets, so the same pruned bucket list serves both reads
+        # and the takedown mask costs zero extra driver jobs); a
+        # redelivered DELETED doc must never re-enter the store
+        known = self.sigs.read(buckets=id_lake_buckets).select("id").unionByName(
+            self.deleted.read(buckets=id_lake_buckets).select("id")
+        )
         fresh = (
             _rebalance(docs)
             .select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
@@ -582,9 +767,17 @@ class IncrementalDeduper:
         ).join(perdoc.select("id"), "id", "left_anti").distinct()
         old_lake_buckets = self._lake_buckets_of(old_ids, self.sigs, "id")
         t_cand = time.monotonic()
+        # anti-join the takedown registry (pruned by the same candidate
+        # buckets): a not-yet-purged deleted doc still has sig rows, and
+        # pairs against it must not be emitted — without its sig row the
+        # candidate dies at the inner rescore join below
         old_sigs = (
             self.sigs.read(buckets=old_lake_buckets)
             .join(old_ids, "id", "left_semi")
+            .join(
+                self.deleted.read(buckets=old_lake_buckets).select("id"),
+                "id", "left_anti",
+            )
             .select("id", "shs")
         )
         allsigs = perdoc.select("id", "shs").unionByName(old_sigs)

@@ -403,6 +403,113 @@ def test_cap_enable_upgrade_backfills_dfreq(spark, tmp_table_dir):
     assert top_df == 600
 
 
+def test_delete_masks_pairs_and_blocks_reingest(spark, docs, tmp_table_dir):
+    """Takedown (VERDICT r4 missing #1): after delete(ids), (a) new
+    batches emit no pairs against the deleted docs, (b) redelivered_pairs
+    excludes pairs with a deleted endpoint, (c) a redelivered deleted doc
+    is NOT re-ingested, (d) delete is idempotent, and (e) purge_deleted
+    physically drops the rows while changing no live result."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    b1 = docs.filter("doc_id % 2 = 0")
+    p1 = _pairs(dd.add_batch(b1))
+    assert p1, "base corpus must contain near-dups for this test"
+    # delete one endpoint of a known pair
+    victim = sorted(p1)[0][0]
+    assert dd.delete([victim]) == 1
+    assert dd.delete([victim]) == 0  # idempotent
+    assert dd.delete(docs.filter(f"doc_id = {victim}")) == 0  # df form too
+
+    # (c) redelivery of the deleted doc: NOT re-ingested
+    stats = {}
+    dd.add_batch(docs.filter(f"doc_id = {victim}"), stats=stats)
+    assert stats["n_new"] == 0
+
+    # (a) an exact clone of the deleted doc arrives: no pair against it
+    clone = docs.filter(f"doc_id = {victim}").select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    inc = _pairs(dd.add_batch(clone))
+    assert not any(victim in p for p in inc), inc
+
+    # (b) re-derived pairs for the original batch exclude the victim
+    rp = _pairs(dd.redelivered_pairs(b1))
+    assert rp == {p: j for p, j in p1.items() if victim not in p}
+
+    # (e) physical purge drops the victim's rows, keeps everything else
+    before_live = {p: j for p, j in _pairs(dd.redelivered_pairs(b1)).items()}
+    st = dd.maintain(max_files_per_bucket=1, keep_snapshots=1)
+    assert st["purged_ids"] == 1
+    assert st["sig_buckets_rewritten"] >= 1 and st["index_buckets_rewritten"] >= 1
+    assert dd.sigs.read().filter(F.col("id") == victim).count() == 0
+    assert dd.buckets.read().filter(F.col("id") == victim).count() == 0
+    assert _pairs(dd.redelivered_pairs(b1)) == before_live
+    # purge watermark advanced; second maintain purges nothing
+    assert dd.maintain()["purged_ids"] == 0
+    # still blocked from re-ingest AFTER the purge (registry is memory)
+    stats = {}
+    dd.add_batch(docs.filter(f"doc_id = {victim}"), stats=stats)
+    assert stats["n_new"] == 0
+
+
+def test_delete_purge_crash_windows_are_idempotent(spark, docs, tmp_table_dir):
+    """Crash between the purge's index rewrite and sigs rewrite: rerun
+    completes the purge without bloat or loss (every step is a pure
+    function of durable state; the watermark advances last)."""
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    dd.add_batch(docs.filter("doc_id < 200"))
+    dd.delete([0, 1, 2])
+
+    boom = RuntimeError("injected crash mid-purge")
+    real_rewrite = dd.sigs.commit_rewrite
+    dd.sigs.commit_rewrite = lambda *a, **k: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dd.purge_deleted()
+    dd.sigs.commit_rewrite = real_rewrite
+    # index already rewritten, sigs not, watermark NOT advanced
+    assert int(dd.deleted.properties["purged_seq"]) == 0
+    assert dd.buckets.read().filter(F.col("id") < 3).count() == 0
+    assert dd.sigs.read().filter(F.col("id") < 3).count() == 3
+
+    st = dd.purge_deleted()
+    assert st["purged_ids"] == 3
+    assert int(dd.deleted.properties["purged_seq"]) == 1
+    assert dd.sigs.read().filter(F.col("id") < 3).count() == 0
+    # no row bloat anywhere: index rows still unique
+    idx = dd.buckets.read()
+    assert idx.count() == idx.select("band", "bk", "id").distinct().count()
+    # df-cap store parity: deleting ahead of delivery blocks ingestion
+    ghost_stats = {}
+    dd.delete([777_777])
+    dd.add_batch(
+        spark.createDataFrame([(777_777, "never to be stored zq")], ["doc_id", "text"]),
+        stats=ghost_stats,
+    )
+    assert ghost_stats["n_new"] == 0
+
+
+def test_delete_updates_dfreq_on_purge(spark, tmp_table_dir):
+    """With the persistent df-cap, purging deleted docs appends negative
+    df deltas so the belt stops counting their shingles."""
+    header = "this header is shared by every single document in the corpus here"
+    dd = IncrementalDeduper(
+        spark, tmp_table_dir, k=24, n_bands=8, threshold=0.5,
+        max_shingle_docs=1000,
+    )
+    dd.add_batch(_boiler_docs(spark, range(40), header, lambda i: f"u{i} v{i} w{i}"))
+    top = (
+        dd.dfreq.read().groupBy("sh").agg(F.sum("cnt").alias("c"))
+        .agg(F.max("c")).first()[0]
+    )
+    assert top == 40
+    dd.delete(range(10))
+    dd.purge_deleted()
+    top = (
+        dd.dfreq.read().groupBy("sh").agg(F.sum("cnt").alias("c"))
+        .agg(F.max("c")).first()[0]
+    )
+    assert top == 30
+
+
 def test_two_batch_parity_portable_tier(spark, docs, tmp_table_dir):
     """The md5-affine portable hash tier satisfies the same union==one-shot
     contract as the xxhash64 engine tier (both tiers share the store
