@@ -134,12 +134,16 @@ class IncrementalANN:
         self,
         spark: SparkSession,
         path: str,
-        n_centroids: int = 8,
+        n_centroids: int | None = None,
         id_buckets: int = 32,
     ):
+        """``n_centroids``: index fanout at CREATION (default 8). On
+        reopen the STORED value is authoritative (it can have grown via
+        ``retrain(n_centroids=...)``); passing an explicit value that
+        disagrees raises — the bucket layout follows the store, not the
+        caller."""
         self.spark = spark
         self.path = os.path.abspath(path)
-        self.n_centroids = n_centroids
         cent_path = os.path.join(self.path, "cent")
         vec_path = os.path.join(self.path, "vectors")
         ids_path = os.path.join(self.path, "ids")
@@ -149,22 +153,26 @@ class IncrementalANN:
         self.ids = LakeTable(spark, ids_path)
         self.deleted = LakeTable(spark, del_path)
         if not self.cent.exists():
+            self.n_centroids = 8 if n_centroids is None else int(n_centroids)
             self.cent = LakeTable.create(
                 spark, cent_path, _CENT_SCHEMA, num_buckets=1,
-                properties={"trained": False, "n_centroids": n_centroids, "epoch": 0},
+                properties={"trained": False, "n_centroids": self.n_centroids,
+                            "epoch": 0},
             )
         else:
-            stored = self.cent.properties.get("n_centroids")
-            if stored is not None and int(stored) != n_centroids:
+            stored = int(self.cent.properties.get("n_centroids", n_centroids or 8))
+            if n_centroids is not None and stored != int(n_centroids):
                 raise ValueError(
-                    f"store at {self.path} was created with n_centroids={stored}; "
+                    f"store at {self.path} currently has n_centroids={stored}; "
                     f"reopening with n_centroids={n_centroids} would probe a "
-                    "bucket layout the stored assignments don't follow"
+                    "bucket layout the stored assignments don't follow — grow "
+                    "the fanout with retrain(n_centroids=...) instead"
                 )
+            self.n_centroids = stored
         if not self.vectors.exists():
             # bucket == cluster: the bucketing IS the inverted file
             self.vectors = LakeTable.create(
-                spark, vec_path, _VEC_SCHEMA, num_buckets=n_centroids,
+                spark, vec_path, _VEC_SCHEMA, num_buckets=self.n_centroids,
                 properties={"batch_seq": 0, "cent_epoch": 0},
             )
         if not self.ids.exists():
@@ -244,8 +252,14 @@ class IncrementalANN:
         full rewrite (its ids append still lands, so its vectors would be
         forever 'known' yet absent — unrecoverable even by redelivery).
         On ConcurrentCommitError the epoch mismatch simply persists and
-        the next recover() re-heals it against fresher state."""
+        the next recover() re-heals it against fresher state.
+
+        A FULL rewrite by definition, so it always (re-)buckets the table
+        to the current centroid fanout — which is how recover() heals a
+        crash between a growing retrain's centroid commit and its vectors
+        rewrite (the re-bucket rides the same roll-forward)."""
         epoch = int(self.cent.properties.get("epoch", 0))
+        nc = int(self.cent.properties.get("n_centroids", self.n_centroids))
         vec_v = self.vectors.version
         # anti-join the takedown registry: the full rewrite doubles as a
         # physical purge of deleted vectors
@@ -262,10 +276,12 @@ class IncrementalANN:
                 "id", "v", "cluster", "cos_r", "batch_seq",
                 F.col("cluster").alias("bucket"),
             ),
-            touched_buckets=list(range(self.n_centroids)),
+            touched_buckets=list(range(nc)),
             properties={"cent_epoch": epoch},
             expected_version=vec_v,
+            num_buckets=nc,
         )
+        self.n_centroids = nc
 
     def recover(self) -> bool:
         """Roll forward any interrupted multi-table commit sequence.
@@ -302,9 +318,13 @@ class IncrementalANN:
                 expected_version=self.ids.version,
             )
             ran = True
+        nc = int(self.cent.properties.get("n_centroids", self.n_centroids))
         if int(self.vectors.properties.get("cent_epoch", 0)) != int(
             self.cent.properties.get("epoch", 0)
-        ):
+        ) or self.vectors.num_buckets != nc:
+            # epoch lag (crashed/aborted retrain) or bucket-layout lag (a
+            # growing retrain crashed before its vectors rewrite) — one
+            # roll-forward heals both
             self._reassign_all()
             ran = True
         return ran
@@ -581,10 +601,21 @@ class IncrementalANN:
 
     # ----------------------------------------------------------- maintenance
 
-    def retrain(self, iters: int = 2) -> None:
+    def retrain(self, iters: int = 2, n_centroids: int | None = None) -> None:
         """Offline rebuild: Lloyd-refine centroids over the stored corpus,
         re-assign every vector, and REWRITE the vectors table (full CoW —
         the periodic index rebuild, not the per-batch path).
+
+        ``n_centroids``: GROW (or change) the index fanout. IVF wants
+        ~sqrt(N) centroids, so a fixed creation-time fanout makes each
+        probed cluster's absolute bytes grow linearly with the corpus
+        even though the fraction stays n_probe/n_centroids. retrain is
+        already a full CoW rewrite, so it is the natural (and free)
+        place to re-bucket: the vectors table is recreated at the new
+        ``num_buckets`` inside the same epoch-stamped commit, and a crash
+        between the centroid commit and the vectors rewrite is healed by
+        recover()'s reassign, which re-buckets as part of its
+        roll-forward.
 
         Concurrency contract: intended to run in a maintenance window.
         An ingest racing it loses exactly one side's optimistic guard —
@@ -597,6 +628,9 @@ class IncrementalANN:
         from .similarity import ivf_refine_assign
 
         self.recover()
+        nc = self.n_centroids if n_centroids is None else int(n_centroids)
+        if nc < 1:
+            raise ValueError(f"n_centroids must be >= 1, got {nc}")
         vec_v = self.vectors.version
         # takedowns are excluded from training AND physically dropped by
         # the rewrite (retrain doubles as a full purge)
@@ -606,7 +640,7 @@ class IncrementalANN:
             .select("id", "v", "batch_seq")
         )
         assign = ivf_refine_assign(
-            corpus.select("id", "v"), n_centroids=self.n_centroids,
+            corpus.select("id", "v"), n_centroids=nc,
             id_col="id", vec_col="v", iters=iters,
         )
         # recover the refined centroid vectors: exact decimal means per
@@ -629,7 +663,8 @@ class IncrementalANN:
         epoch = int(self.cent.properties.get("epoch", 0)) + 1
         self.cent.commit_rewrite(
             cent.withColumn("bucket", F.lit(0)), touched_buckets=[0],
-            properties={"trained": True, "epoch": epoch, "retrained_iters": iters},
+            properties={"trained": True, "epoch": epoch, "retrained_iters": iters,
+                        "n_centroids": nc},
             expected_version=self.cent.version,
         )
         newassign = self._score_against_centroids(corpus.select("id", "v")).join(
@@ -640,10 +675,12 @@ class IncrementalANN:
                 "id", "v", "cluster", "cos_r", "batch_seq",
                 F.col("cluster").alias("bucket"),
             ),
-            touched_buckets=list(range(self.n_centroids)),
+            touched_buckets=list(range(nc)),
             properties={"cent_epoch": epoch},
             expected_version=vec_v,
+            num_buckets=nc,
         )
+        self.n_centroids = nc
 
     def maintain(self, max_files_per_bucket: int = 8, keep_snapshots: int = 10) -> dict:
         """Background maintenance: heal any interrupted commit sequence

@@ -319,6 +319,7 @@ class LakeTable:
         properties: dict[str, Any] | None = None,
         schema: T.StructType | None = None,
         expected_version: int | None = None,
+        num_buckets: int | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: replace ``touched_buckets`` with ``df``.
 
@@ -330,6 +331,16 @@ class LakeTable:
         ``expected_version``: optimistic-concurrency guard — refuse to
         publish if another writer advanced the table since the batch read
         its inputs (the merge was computed against stale state).
+
+        ``num_buckets``: RE-BUCKET the table as part of this commit. The
+        rewrite must then be FULL — ``df`` is the complete new table
+        contents under the new bucketing (``touched_buckets`` is ignored;
+        no prior file can be carried over, its rows hash elsewhere now).
+        This is how a bucketed layout grows with the data (e.g. IVF
+        fanout ~ sqrt(corpus)) without a stop-the-world table migration:
+        the swap is one atomic snapshot like any other commit, crash-safe
+        and time-travel-consistent (older snapshots keep their own
+        num_buckets, so bucket-pruned reads of history stay correct).
         """
         pre = self.snapshot()
         if expected_version is not None and pre.version != expected_version:
@@ -382,16 +393,20 @@ class LakeTable:
                     f"table advanced to v{prev.version} during the data write "
                     f"(batch planned against v{expected_version})"
                 )
-            files = {b: list(fl) for b, fl in prev.files.items()}
-            for b in touched_buckets:
-                files[str(b)] = []
-            files.update(staged)
-            files = {b: fl for b, fl in files.items() if fl}
+            if num_buckets is not None:
+                # re-bucketing is a full replacement: only staged files
+                files = dict(staged)
+            else:
+                files = {b: list(fl) for b, fl in prev.files.items()}
+                for b in touched_buckets:
+                    files[str(b)] = []
+                files.update(staged)
+                files = {b: fl for b, fl in files.items() if fl}
 
             snap = Snapshot(
                 version=prev.version + 1,
                 schema_json=json.dumps(out_schema.jsonValue()),
-                num_buckets=prev.num_buckets,
+                num_buckets=num_buckets if num_buckets is not None else prev.num_buckets,
                 files=files,
                 properties={**prev.properties, **(properties or {})},
                 parent=prev.version,

