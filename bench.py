@@ -113,6 +113,21 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             results[name] = round(time.time() - t0, 3)
 
+        # engine hash tier (xxhash64, zero crypto — the production
+        # fingerprint; the registry's doc_fingerprint runs the md5
+        # portable tier because that's what the DuckDB oracle can mirror)
+        from embulk_input_mixpanel_spark.operators.dedup import fingerprint  # noqa: PLC0415
+
+        def _fp_engine():
+            return spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).select("doc_id", fingerprint("text", portable=False).alias("fp"))
+
+        _fp_engine().count()  # warm
+        t0 = time.time()
+        _force(_fp_engine())
+        results["doc_fingerprint_engine"] = round(time.time() - t0, 3)
+
     # ---- incremental-store ingest (separate section: NOT in `value`, so
     # the headline total stays comparable across rounds) -------------------
     incremental: dict[str, float] = {}
@@ -156,6 +171,64 @@ def main() -> None:
         ann.topk(query_ids=[0, 1, 2], k=10, n_probe=2).count()
         incremental["ann_topk_probe"] = round(time.time() - t0, 3)
 
+    # ---- long-horizon store soak (separate section: NOT in `value`) -------
+    # Drives many small batches through BOTH incremental stores (continuing
+    # from the stores built above) with maintain() every few batches — the
+    # direct evidence that the O(batch) contract holds over OPERATIONAL
+    # time: per-batch wall time stays flat (no O(corpus-files) creep) and
+    # compaction keeps per-bucket file counts bounded.
+    soak: dict = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1" and os.environ.get(
+        "BENCH_SKIP_SOAK"
+    ) != "1":
+        n_soak = int(os.environ.get("BENCH_SOAK_BATCHES", "30"))
+        maintain_every = 6
+        dd_times, ann_times, maintains = [], [], 0
+        base_docs = docs.limit(25).localCheckpoint(eager=True)
+        base_vecs = emb.limit(25).localCheckpoint(eager=True)
+        for i in range(n_soak):
+            b = base_docs.select(
+                (F.col("doc_id") + 20_000_000 + i * 100_000).alias("doc_id"), "text"
+            )
+            t0 = time.time()
+            dd.add_batch(b).count()
+            dd_times.append(round(time.time() - t0, 3))
+            bv = base_vecs.select(
+                (F.col("vec_id") + 20_000_000 + i * 100_000).alias("vec_id"),
+                "embedding",
+            )
+            t0 = time.time()
+            ann.add_batch(bv)
+            ann_times.append(round(time.time() - t0, 3))
+            if (i + 1) % maintain_every == 0:
+                dd.maintain(max_files_per_bucket=4)
+                ann.maintain(max_files_per_bucket=4)
+                maintains += 1
+
+        def _decile(xs, last):
+            k = max(len(xs) // 10, 3)
+            part = xs[-k:] if last else xs[:k]
+            return round(sum(part) / len(part), 3)
+
+        soak = {
+            "batches": n_soak,
+            "batch_docs": 25,
+            "maintain_every": maintain_every,
+            "maintains": maintains,
+            "dedup_batch_seconds": dd_times,
+            "ann_batch_seconds": ann_times,
+            "dedup_first_decile_s": _decile(dd_times, last=False),
+            "dedup_last_decile_s": _decile(dd_times, last=True),
+            "ann_first_decile_s": _decile(ann_times, last=False),
+            "ann_last_decile_s": _decile(ann_times, last=True),
+            "dedup_max_files_per_bucket": max(
+                (len(fl) for fl in dd.buckets.snapshot().files.values()), default=0
+            ),
+            "ann_max_files_per_bucket": max(
+                (len(fl) for fl in ann.vectors.snapshot().files.values()), default=0
+            ),
+        }
+
     # ---- adversarial skew replay (separate section: NOT in `value`) ------
     # one repo forced to 20% of the stream — the monorepo hot-key shape.
     # Evidence that AQE skew-join splitting + the merge path's salting keep
@@ -198,6 +271,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "incremental": incremental,
+        "soak": soak,
         "skew": skew,
         "sf": sf,
         "replay": {
