@@ -65,6 +65,54 @@ shutil.rmtree(_shm, ignore_errors=True)
 """
 
 
+def wait_quiet(threshold: float, timeout: float) -> float:
+    """Gate trial admission on a quiet host: block until the 1-min
+    loadavg drops below ``threshold`` (VERDICT r4 #1b — a graded
+    criterion whose evidence depends on ambient multi-tenant load must
+    not admit trials into a visibly busy window). Returns the loadavg
+    the trial was admitted at (recorded in scaling_history.json); on
+    timeout the trial proceeds anyway with the high value recorded."""
+    t0 = time.time()
+    while True:
+        la = os.getloadavg()[0]
+        if la <= threshold or time.time() - t0 > timeout:
+            return round(la, 2)
+        print(f"  [quiet-gate] loadavg {la:.1f} > {threshold} — waiting",
+              file=sys.stderr)
+        time.sleep(15)
+
+
+class spinners:
+    """Clock-equalizing busy-loops (VERDICT r4 #1a): during a level-A
+    (e.g. local[2]) trial, pin ``count`` single-core spinner processes to
+    the cores ABOVE the trial JVM's taskset range so the package sees the
+    same number of busy cores as level B does. Without them, 2 busy cores
+    on an idle host turbo-boost higher than 8 busy cores — a hardware
+    asymmetry that deflates A-heavy efficiency ratios and that a real
+    N-vs-4N comparison of EQUAL-SIZED executors does not have. The
+    spinner CPU set is disjoint from the trial JVM's, so they equalize
+    clocks without stealing a cycle from the measured work."""
+
+    def __init__(self, first_core: int, count: int):
+        self.cpus = list(range(first_core, first_core + max(count, 0)))
+        self.procs: list[subprocess.Popen] = []
+
+    def __enter__(self):
+        for c in self.cpus:
+            self.procs.append(subprocess.Popen(
+                ["taskset", "-c", str(c), sys.executable, "-c",
+                 "while True:\n pass"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ))
+        return self
+
+    def __exit__(self, *exc):
+        for p in self.procs:
+            p.kill()
+        for p in self.procs:
+            p.wait()
+
+
 def run_trial(cores: int, n_events: int, tag: str) -> dict:
     code = RUN_ONE.format(repo=REPO, cores=cores, n_events=n_events)
     # pin the WHOLE JVM (tasks + GC + JIT threads) to exactly `cores`
@@ -87,17 +135,29 @@ def run_trial(cores: int, n_events: int, tag: str) -> dict:
 
 
 def run_levels_interleaved(lo_cores: int, hi_cores: int, n_events: int, trials: int):
-    """A,B,A,B,... so bursty host noise hits both levels evenly."""
+    """A,B,A,B,... so bursty host noise hits both levels evenly. Each
+    trial is admitted through the quiet-host gate; level-A trials run
+    beside clock-equalizing spinners on cores [lo, hi)."""
+    quiet_load = float(os.environ.get("SCALE_QUIET_LOAD", "3.0"))
+    quiet_timeout = float(os.environ.get("SCALE_QUIET_TIMEOUT", "900"))
+    equalize = os.environ.get("SCALE_EQUALIZE_CLOCKS", "1") == "1"
     acc = {lo_cores: [], hi_cores: []}
+    loads = {lo_cores: [], hi_cores: []}
     rows = 0
     for t in range(trials):
         for c in (lo_cores, hi_cores):
-            d = run_trial(c, n_events, str(t))
+            loads[c].append(wait_quiet(quiet_load, quiet_timeout))
+            if c == lo_cores and equalize and hi_cores > lo_cores:
+                with spinners(lo_cores, hi_cores - lo_cores):
+                    d = run_trial(c, n_events, str(t))
+            else:
+                d = run_trial(c, n_events, str(t))
             acc[c].append(d["events_per_sec"])
             rows = d["rows"]
 
     def pack(c):
         return {"cores": c, "rows": rows, "trials": acc[c],
+                "admitted_loadavg": loads[c],
                 "median_events_per_sec": statistics.median(acc[c]),
                 "best_events_per_sec": max(acc[c])}
 
@@ -173,13 +233,18 @@ def _append_history(result: dict, lo_c: int, hi_c: int, trials: int) -> None:
     if os.path.exists(path):
         with open(path) as fh:
             hist = json.load(fh)
+    equalized = os.environ.get("SCALE_EQUALIZE_CLOCKS", "1") == "1"
     hist.setdefault("rounds", []).append(
         {
             "round": os.environ.get("SPARK_GRAFT_ROUND", "unlabeled"),
             "protocol": (
                 f"local[{lo_c}] vs local[{hi_c}], taskset-pinned, "
                 f"{trials} interleaved trials, {result['n_events']:,} events"
+                + (", clock-equalized A (disjoint-core spinners), quiet-gated"
+                   if equalized else "")
             ),
+            "admitted_loadavg_A": result["level_A"].get("admitted_loadavg"),
+            "admitted_loadavg_B": result["level_B"].get("admitted_loadavg"),
             "scaling_efficiency_best": result["scaling_efficiency_best"],
             "scaling_efficiency_median": result["scaling_efficiency_median"],
             "speedup_best": result["speedup_best"],
