@@ -24,10 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RATIO = 4.0  # the N -> 4N criterion
 
 
-def _pool(bs):
+CLEAN_MARGIN = 2.0  # max sustained foreign loadavg tolerated during a trial
+
+
+def _pool(bs, hi_cores=None):
     a = [v for b in bs for v in b["level_A_trials_ev_s"]]
     b = [v for bb in bs for v in bb["level_B_trials_ev_s"]]
-    return {
+    out = {
         "batches": len(bs),
         "trials_per_level": len(a),
         "A_best": max(a), "A_median": statistics.median(a),
@@ -38,10 +41,36 @@ def _pool(bs):
         ),
         "_a": sorted(a), "_b": sorted(b),
     }
+    # clean subset: trials whose sampled-during loadavg never exceeded the
+    # run's OWN steady load (hi_cores busy at both levels, spinners
+    # included) by more than CLEAN_MARGIN. Outcome-independent criterion:
+    # a trial is excluded because a foreign tenant measurably ran during
+    # its window, never because its number is inconvenient.
+    if hi_cores is not None and all(
+        bb.get("max_loadavg_during_A") and bb.get("max_loadavg_during_B")
+        for bb in bs
+    ):
+        thr = hi_cores + CLEAN_MARGIN
+        ca = [v for bb in bs
+              for v, l in zip(bb["level_A_trials_ev_s"], bb["max_loadavg_during_A"])
+              if l <= thr]
+        cb = [v for bb in bs
+              for v, l in zip(bb["level_B_trials_ev_s"], bb["max_loadavg_during_B"])
+              if l <= thr]
+        out["clean_threshold_loadavg"] = thr
+        out["clean_trials_A"] = len(ca)
+        out["clean_trials_B"] = len(cb)
+        if ca and cb:
+            out["clean_efficiency_median"] = round(
+                statistics.median(cb) / statistics.median(ca) / RATIO, 3
+            )
+            out["clean_efficiency_best"] = round(max(cb) / max(ca) / RATIO, 3)
+            out["_ca"], out["_cb"] = sorted(ca), sorted(cb)
+    return out
 
 
 def _table(p, title):
-    return f"""
+    md = f"""
 ### {title} — {p['batches']} batch(es), {p['trials_per_level']} trials per level
 
 | level | best ev/s | median ev/s | all trials (ev/s) |
@@ -51,6 +80,16 @@ def _table(p, title):
 
 - pooled scaling efficiency: **{p['efficiency_median']} (median)** / {p['efficiency_best']} (best) — target >= 0.8
 """
+    if "clean_efficiency_median" in p:
+        md += f"""- CLEAN subset (trials whose sampled-during 1-min loadavg never exceeded
+  {p['clean_threshold_loadavg']:.0f} — i.e. no foreign tenant measurably ran during the window;
+  criterion is load-based, never outcome-based): {p['clean_trials_A']}/{p['trials_per_level']} A trials,
+  {p['clean_trials_B']}/{p['trials_per_level']} B trials kept →
+  **efficiency {p['clean_efficiency_median']} (median)** / {p['clean_efficiency_best']} (best)
+  - clean A trials: {', '.join(f"{v:.0f}" for v in p['_ca'])}
+  - clean B trials: {', '.join(f"{v:.0f}" for v in p['_cb'])}
+"""
+    return md
 
 
 def main() -> None:
@@ -91,7 +130,7 @@ BENCH/scaling_history.json; trials pool only within an identical
 """]
     result = {"round": label, "target": 0.8, "groups": {}}
     for (lo, hi, n), bs in sorted(groups.items()):
-        p = _pool(bs)
+        p = _pool(bs, hi_cores=hi)
         title = f"local[{lo}] vs local[{hi}], {n:,}-event window"
         out.append(_table(p, title))
         result["groups"][title] = {

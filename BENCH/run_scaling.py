@@ -113,24 +113,38 @@ class spinners:
             p.wait()
 
 
-def run_trial(cores: int, n_events: int, tag: str) -> dict:
+def run_trial(cores: int, n_events: int, tag: str, own_load: float) -> dict:
     code = RUN_ONE.format(repo=REPO, cores=cores, n_events=n_events)
     # pin the WHOLE JVM (tasks + GC + JIT threads) to exactly `cores`
     # CPUs: emulates an executor that owns N cores, so the low level can't
     # borrow spare cores for background threads and inflate the baseline
-    out = subprocess.run(
+    proc = subprocess.Popen(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
-        capture_output=True, text=True, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
         env={**os.environ, "SPARK_GRAFT_MASTER": f"local[{cores}]",
              "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")},
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    # contamination meter: the admission gate can't see foreign load that
+    # ARRIVES mid-trial (1-min loadavg, sampled while the trial runs, is
+    # the outcome-independent witness: our own steady load is `own_load`
+    # busy cores at BOTH levels thanks to the spinners, so a sustained
+    # excursion well above it means another tenant ran during the timed
+    # window). Recorded per trial; pool_round uses it to report a clean
+    # subset transparently.
+    max_load = 0.0
+    while proc.poll() is None:
+        max_load = max(max_load, os.getloadavg()[0])
+        time.sleep(5)
+    stdout, stderr = proc.communicate()
+    line = [l for l in stdout.strip().splitlines() if l.startswith("{")]
     if not line:
-        print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+        print(stdout[-2000:], stderr[-2000:], file=sys.stderr)
         raise RuntimeError(f"trial failed at cores={cores}")
     d = json.loads(line[-1])
+    d["max_loadavg_during"] = round(max_load, 2)
+    d["own_load"] = own_load
     print(f"  local[{cores}] trial {tag}: {d['events_per_sec']:.0f} ev/s "
-          f"({d['seconds']:.1f}s)", file=sys.stderr)
+          f"({d['seconds']:.1f}s, max load {max_load:.1f})", file=sys.stderr)
     return d
 
 
@@ -143,21 +157,24 @@ def run_levels_interleaved(lo_cores: int, hi_cores: int, n_events: int, trials: 
     equalize = os.environ.get("SCALE_EQUALIZE_CLOCKS", "1") == "1"
     acc = {lo_cores: [], hi_cores: []}
     loads = {lo_cores: [], hi_cores: []}
+    during = {lo_cores: [], hi_cores: []}
     rows = 0
     for t in range(trials):
         for c in (lo_cores, hi_cores):
             loads[c].append(wait_quiet(quiet_load, quiet_timeout))
             if c == lo_cores and equalize and hi_cores > lo_cores:
                 with spinners(lo_cores, hi_cores - lo_cores):
-                    d = run_trial(c, n_events, str(t))
+                    d = run_trial(c, n_events, str(t), own_load=float(hi_cores))
             else:
-                d = run_trial(c, n_events, str(t))
+                d = run_trial(c, n_events, str(t), own_load=float(c))
             acc[c].append(d["events_per_sec"])
+            during[c].append(d["max_loadavg_during"])
             rows = d["rows"]
 
     def pack(c):
         return {"cores": c, "rows": rows, "trials": acc[c],
                 "admitted_loadavg": loads[c],
+                "max_loadavg_during": during[c],
                 "median_events_per_sec": statistics.median(acc[c]),
                 "best_events_per_sec": max(acc[c])}
 
@@ -245,6 +262,8 @@ def _append_history(result: dict, lo_c: int, hi_c: int, trials: int) -> None:
             ),
             "admitted_loadavg_A": result["level_A"].get("admitted_loadavg"),
             "admitted_loadavg_B": result["level_B"].get("admitted_loadavg"),
+            "max_loadavg_during_A": result["level_A"].get("max_loadavg_during"),
+            "max_loadavg_during_B": result["level_B"].get("max_loadavg_during"),
             "scaling_efficiency_best": result["scaling_efficiency_best"],
             "scaling_efficiency_median": result["scaling_efficiency_median"],
             "speedup_best": result["speedup_best"],

@@ -13,7 +13,9 @@ Usage:
         --vectors-parquet /data/emb_batch.parquet [--n-centroids 8]
     python bin/ann.py --store /data/ann_store --topk-ids 0,1,2 \
         [--k 3] [--n-probe 2] [--out-parquet /data/nn]
-    python bin/ann.py --store /data/ann_store --retrain [--iters 2]
+    python bin/ann.py --store /data/ann_store --retrain [--iters 2] \
+        [--grow-centroids 32]
+    python bin/ann.py --store /data/ann_store --delete-ids 7,42
     python bin/ann.py --store /data/ann_store --maintain
 """
 
@@ -36,8 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--vectors-parquet", help="parquet batch with (vec_id, embedding)")
     ap.add_argument("--id-col", default="vec_id")
     ap.add_argument("--vec-col", default="embedding")
-    ap.add_argument("--n-centroids", type=int, default=8,
-                    help="IVF cluster count (fixed at store creation)")
+    ap.add_argument("--n-centroids", type=int, default=None,
+                    help="IVF cluster count at store CREATION (default 8); "
+                         "reopens adopt the stored fanout — grow it with "
+                         "--retrain --grow-centroids N")
     ap.add_argument("--topk-ids", help="comma-separated stored ids to probe")
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--n-probe", type=int, default=2)
@@ -45,20 +49,32 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--retrain", action="store_true",
                     help="Lloyd-refine centroids + rewrite assignments "
                          "(run in a maintenance window)")
+    ap.add_argument("--grow-centroids", type=int, default=None,
+                    help="with --retrain: re-bucket the index to this "
+                         "fanout (IVF wants ~sqrt(corpus) centroids)")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--delete-ids", default=None,
+                    help="takedown: comma-separated vec ids to delete "
+                         "(logical now; physically purged by --maintain / "
+                         "--retrain). Terminal per id")
     ap.add_argument("--maintain", action="store_true",
-                    help="recover + compact store files + expire snapshots")
+                    help="recover + purge takedowns + compact store files + "
+                         "expire snapshots")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
-    if not (args.vectors_parquet or args.topk_ids or args.retrain or args.maintain):
-        print("config error: need --vectors-parquet, --topk-ids, --retrain "
-              "and/or --maintain", file=sys.stderr)
+    if not (args.vectors_parquet or args.topk_ids or args.retrain
+            or args.maintain or args.delete_ids):
+        print("config error: need --vectors-parquet, --topk-ids, --retrain, "
+              "--delete-ids and/or --maintain", file=sys.stderr)
         return 2
 
     spark = get_spark("incremental-ann", cores=args.cores)
     ann = IncrementalANN(spark, args.store, n_centroids=args.n_centroids)
     summary: dict = {"store": os.path.abspath(args.store)}
+    if args.delete_ids:
+        ids = [int(s) for s in args.delete_ids.split(",") if s.strip()]
+        summary["deleted"] = ann.delete(ids, id_col=args.id_col)
     if args.vectors_parquet:
         stats: dict = {}
         n = ann.add_batch(
@@ -68,8 +84,9 @@ def main(argv: list[str] | None = None) -> int:
         summary["ingested"] = n
         summary.update(stats)
     if args.retrain:
-        ann.retrain(iters=args.iters)
+        ann.retrain(iters=args.iters, n_centroids=args.grow_centroids)
         summary["retrained_iters"] = args.iters
+        summary["n_centroids"] = ann.n_centroids
     if args.topk_ids:
         ids = [int(s) for s in args.topk_ids.split(",") if s.strip()]
         stats = {}

@@ -44,14 +44,21 @@ def main(argv: list[str] | None = None) -> int:
                          "than this many docs (boilerplate belt; fixed at "
                          "store creation)")
     ap.add_argument("--out-parquet", help="write this batch's NEW pairs here")
+    ap.add_argument("--delete-ids", default=None,
+                    help="takedown: comma-separated doc ids to delete from "
+                         "the store (logical now; physically purged by "
+                         "--maintain). Terminal per id: a deleted doc is "
+                         "never re-ingested")
     ap.add_argument("--maintain", action="store_true",
-                    help="compact store files + expire snapshots after ingest "
-                         "(or standalone when no batch is given)")
+                    help="purge pending takedowns + compact store files + "
+                         "expire snapshots after ingest (or standalone when "
+                         "no batch is given)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
-    if not args.docs_parquet and not args.maintain:
-        print("config error: need --docs-parquet and/or --maintain", file=sys.stderr)
+    if not args.docs_parquet and not args.maintain and not args.delete_ids:
+        print("config error: need --docs-parquet, --delete-ids and/or --maintain",
+              file=sys.stderr)
         return 2
 
     spark = get_spark("incremental-dedup", cores=args.cores)
@@ -60,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
         threshold=args.threshold, max_shingle_docs=args.max_shingle_docs,
     )
     summary: dict = {"store": os.path.abspath(args.store)}
+    if args.delete_ids:
+        ids = [int(s) for s in args.delete_ids.split(",") if s.strip()]
+        summary["deleted"] = dd.delete(ids, id_col=args.id_col)
     if args.docs_parquet:
         stats: dict = {}
         batch = spark.read.parquet(args.docs_parquet)

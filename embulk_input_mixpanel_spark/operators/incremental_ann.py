@@ -484,6 +484,10 @@ class IncrementalANN:
             .select("id")
             .localCheckpoint(eager=True)
         )
+        # pinned to the version the keep-set is read at: a concurrent
+        # append landing mid-purge aborts the purge instead of being
+        # silently erased by the stale bucket rewrite
+        vec_v = self.vectors.version
         hit = (
             self.vectors.read()
             .select("id", "cluster")
@@ -499,6 +503,7 @@ class IncrementalANN:
             self.vectors.commit_rewrite(
                 keep.withColumn("bucket", F.col("cluster")),
                 touched_buckets=clusters,
+                expected_version=vec_v,
             )
             out.update(
                 purged_ids=targets.count(),

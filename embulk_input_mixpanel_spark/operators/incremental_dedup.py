@@ -444,6 +444,12 @@ class IncrementalDeduper:
         )
         n = targets.count()
         if n:
+            # each rewrite is pinned to the version its keep-set was read
+            # at: a concurrent add_batch append landing in between aborts
+            # the purge (ConcurrentCommitError — rerun later) instead of
+            # being silently erased by the stale full-bucket rewrite (the
+            # same loss mode ADVICE r4 flagged for ANN's reassign)
+            buck_v = self.buckets.version
             sig_buckets = self._lake_buckets_of(targets, self.sigs, "id")
             dsigs = (
                 self.sigs.read(buckets=sig_buckets)
@@ -462,16 +468,19 @@ class IncrementalDeduper:
                         "bucket", self.buckets.bucket_expr("band", "bk")
                     ),
                     touched_buckets=idx_buckets,
+                    expected_version=buck_v,
                 )
             # 2) sigs (after this, a crash-rerun finds no dsigs rows, so
             #    step 3 can never double-subtract)
             if sig_buckets:
+                sig_v = self.sigs.version
                 keep = self.sigs.read(buckets=sig_buckets).join(
                     targets, "id", "left_anti"
                 )
                 self.sigs.commit_rewrite(
                     keep.withColumn("bucket", self.sigs.bucket_expr("id")),
                     touched_buckets=sig_buckets,
+                    expected_version=sig_v,
                 )
             # 3) negative df deltas from the purged docs' post-cap sets
             #    (dsigs was checkpointed BEFORE the sigs rewrite). A crash

@@ -81,3 +81,56 @@ def test_dedup_cli_rerun_rederives_pairs(spark, tmp_table_dir, tmp_path, capsys)
         for r in spark.read.parquet(out_p).collect()
     }
     assert got == want
+
+
+def test_ann_cli_delete_and_grow(spark, emb_batch, tmp_table_dir, capsys):
+    store = os.path.join(tmp_table_dir, "ann2")
+    rc = ann_cli.main(["--store", store, "--vectors-parquet", emb_batch,
+                       "--topk-ids", "0", "--k", "1", "--n-probe", "8"])
+    assert rc == 0
+    victim = None
+    out = _last_json(capsys)
+    assert out["topk_rows"] == 1
+    # find the top-1 neighbor to take down
+    from embulk_input_mixpanel_spark.operators.incremental_ann import IncrementalANN
+    ann = IncrementalANN(spark, store)
+    victim = int(ann.topk(query_ids=[0], k=1, n_probe=8).first()["neighbor_id"])
+
+    rc = ann_cli.main(["--store", store, "--delete-ids", str(victim),
+                       "--topk-ids", "0", "--k", "500", "--n-probe", "8"])
+    assert rc == 0
+    out = _last_json(capsys)
+    assert out["deleted"] == 1
+    probe = ann.topk(query_ids=[0], k=500, n_probe=8)
+    assert probe.filter(f"neighbor_id = {victim}").count() == 0
+
+    # grow the fanout via the CLI; probes still prune files
+    rc = ann_cli.main(["--store", store, "--retrain", "--iters", "1",
+                       "--grow-centroids", "16",
+                       "--topk-ids", "0", "--k", "3", "--n-probe", "2"])
+    assert rc == 0
+    out = _last_json(capsys)
+    assert out["n_centroids"] == 16 and out["topk_rows"] == 3
+    assert 0 < out["probe"]["files_read"] < out["probe"]["files_total"]
+    # the retrain (full rewrite) physically purged the takedown
+    assert ann.vectors.read().filter(f"id = {victim}").count() == 0
+
+
+def test_dedup_cli_delete_then_maintain_purges(spark, tmp_table_dir, tmp_path, capsys):
+    docs_p = str(tmp_path / "docs2")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(100).write.mode("overwrite").parquet(docs_p)
+    )
+    store = os.path.join(tmp_table_dir, "dd2")
+    rc = dedup_cli.main(["--store", store, "--docs-parquet", docs_p])
+    assert rc == 0
+    _last_json(capsys)
+    rc = dedup_cli.main(["--store", store, "--delete-ids", "0,1", "--maintain"])
+    assert rc == 0
+    out = _last_json(capsys)
+    assert out["deleted"] == 2
+    assert out["maintenance"]["purged_ids"] == 2
+    from embulk_input_mixpanel_spark.operators.incremental_dedup import IncrementalDeduper
+    dd = IncrementalDeduper(spark, store)
+    assert dd.sigs.read().filter("id IN (0, 1)").count() == 0

@@ -487,6 +487,40 @@ def test_delete_purge_crash_windows_are_idempotent(spark, docs, tmp_table_dir):
     assert ghost_stats["n_new"] == 0
 
 
+def test_purge_racing_ingest_never_erases_append(spark, docs, tmp_table_dir):
+    """A purge's full-bucket rewrites are pinned to the version their
+    keep-set was read at: an add_batch landing mid-purge makes the purge
+    ABORT (rerun later) instead of silently erasing the racer's freshly
+    appended rows."""
+    from embulk_input_mixpanel_spark.sources.lake import ConcurrentCommitError
+
+    dd = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    dd.add_batch(docs.filter("doc_id < 200"))
+    dd.delete([0, 1])
+
+    racer = IncrementalDeduper(spark, tmp_table_dir, k=24, n_bands=8, threshold=0.85)
+    late = docs.filter("doc_id >= 200 and doc_id < 300")
+    real_rewrite = dd.buckets.commit_rewrite
+
+    def inject(df, *a, **kw):
+        dd.buckets.commit_rewrite = real_rewrite
+        racer.add_batch(late)
+        return real_rewrite(df, *a, **kw)
+
+    dd.buckets.commit_rewrite = inject
+    with pytest.raises(ConcurrentCommitError):
+        dd.purge_deleted()
+    dd.buckets.commit_rewrite = real_rewrite
+
+    # the racer's batch survived in full
+    assert dd.sigs.read().filter("id >= 200 and id < 300").count() == 100
+    # the rerun completes the purge without touching the racer's rows
+    st = dd.purge_deleted()
+    assert st["purged_ids"] == 2
+    assert dd.sigs.read().filter("id IN (0, 1)").count() == 0
+    assert dd.sigs.read().filter("id >= 200 and id < 300").count() == 100
+
+
 def test_delete_updates_dfreq_on_purge(spark, tmp_table_dir):
     """With the persistent df-cap, purging deleted docs appends negative
     df deltas so the belt stops counting their shingles."""
