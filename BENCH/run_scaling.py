@@ -113,29 +113,101 @@ class spinners:
             p.wait()
 
 
+_CANARY_CODE = r"""
+import sys, time
+# fixed CPU work per iteration; prints iterations/sec once per ~second.
+# Pure-Python arithmetic: no allocation churn, no JIT warm-up drift.
+while True:
+    t0 = time.perf_counter()
+    it = 0
+    while time.perf_counter() - t0 < 1.0:
+        s = 0
+        for i in range(100_000):
+            s += i * i
+        it += 1
+    print(f"{it / (time.perf_counter() - t0):.2f}", flush=True)
+"""
+
+
+class canary:
+    """Physical-host contention witness (batch-2 finding, round 5): guest
+    loadavg can only see tenants INSIDE this VM — co-tenancy on the
+    physical host (vCPU steal, shared-core contention) slows trials by
+    30%+ while loadavg stays nominal. A fixed-work single-core loop
+    pinned to a core DISJOINT from the trial JVM and the spinners runs
+    for the whole trial and reports its iteration rate ~1/s; a sustained
+    rate drop during the window is direct, outcome-independent evidence
+    the physical host was contended (the canary does not touch the
+    measured cores, so it cannot cause what it measures). min/median
+    rates are recorded per trial; pool_round uses the round's best
+    median as the unloaded reference."""
+
+    def __init__(self, cpu: int = 30):
+        self.cpu = cpu
+        self.proc: subprocess.Popen | None = None
+        self.rates: list[float] = []
+
+    def __enter__(self):
+        try:
+            self.proc = subprocess.Popen(
+                ["taskset", "-c", str(self.cpu), sys.executable, "-u", "-c",
+                 _CANARY_CODE],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            )
+        except Exception:
+            self.proc = None
+        return self
+
+    def __exit__(self, *exc):
+        if self.proc is None:
+            return
+        try:
+            self.proc.kill()
+            out, _ = self.proc.communicate(timeout=30)
+            self.rates = [
+                float(l) for l in out.strip().splitlines()
+                if l.strip().replace(".", "", 1).isdigit()
+            ]
+        except Exception:
+            self.rates = []
+
+    def stats(self) -> dict:
+        if not self.rates:
+            return {}
+        return {
+            "canary_median_rate": round(statistics.median(self.rates), 2),
+            "canary_min_rate": round(min(self.rates), 2),
+            "canary_samples": len(self.rates),
+        }
+
+
 def run_trial(cores: int, n_events: int, tag: str, own_load: float) -> dict:
     code = RUN_ONE.format(repo=REPO, cores=cores, n_events=n_events)
     # pin the WHOLE JVM (tasks + GC + JIT threads) to exactly `cores`
     # CPUs: emulates an executor that owns N cores, so the low level can't
     # borrow spare cores for background threads and inflate the baseline
-    proc = subprocess.Popen(
-        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
-        env={**os.environ, "SPARK_GRAFT_MASTER": f"local[{cores}]",
-             "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")},
-    )
-    # contamination meter: the admission gate can't see foreign load that
-    # ARRIVES mid-trial (1-min loadavg, sampled while the trial runs, is
-    # the outcome-independent witness: our own steady load is `own_load`
-    # busy cores at BOTH levels thanks to the spinners, so a sustained
-    # excursion well above it means another tenant ran during the timed
-    # window). Recorded per trial; pool_round uses it to report a clean
-    # subset transparently.
-    max_load = 0.0
-    while proc.poll() is None:
-        max_load = max(max_load, os.getloadavg()[0])
-        time.sleep(5)
-    stdout, stderr = proc.communicate()
+    cn = canary()
+    with cn:
+        proc = subprocess.Popen(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_MASTER": f"local[{cores}]",
+                 "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")},
+        )
+        # contamination meter: the admission gate can't see foreign load
+        # that ARRIVES mid-trial (1-min loadavg, sampled while the trial
+        # runs, is the in-guest witness: our own steady load is `own_load`
+        # busy cores at BOTH levels thanks to the spinners, so a sustained
+        # excursion well above it means another guest tenant ran during
+        # the timed window). The canary (disjoint-core fixed-work loop)
+        # witnesses PHYSICAL-host contention, which guest loadavg cannot
+        # see. Both recorded per trial; pool_round reports clean subsets
+        # transparently.
+        max_load = 0.0
+        while proc.poll() is None:
+            max_load = max(max_load, os.getloadavg()[0])
+            time.sleep(5)
+        stdout, stderr = proc.communicate()
     line = [l for l in stdout.strip().splitlines() if l.startswith("{")]
     if not line:
         print(stdout[-2000:], stderr[-2000:], file=sys.stderr)
@@ -143,8 +215,12 @@ def run_trial(cores: int, n_events: int, tag: str, own_load: float) -> dict:
     d = json.loads(line[-1])
     d["max_loadavg_during"] = round(max_load, 2)
     d["own_load"] = own_load
+    d.update(cn.stats())
     print(f"  local[{cores}] trial {tag}: {d['events_per_sec']:.0f} ev/s "
-          f"({d['seconds']:.1f}s, max load {max_load:.1f})", file=sys.stderr)
+          f"({d['seconds']:.1f}s, max load {max_load:.1f}"
+          + (f", canary {d['canary_min_rate']:.1f}/{d['canary_median_rate']:.1f}"
+             if "canary_median_rate" in d else "")
+          + ")", file=sys.stderr)
     return d
 
 
@@ -158,6 +234,7 @@ def run_levels_interleaved(lo_cores: int, hi_cores: int, n_events: int, trials: 
     acc = {lo_cores: [], hi_cores: []}
     loads = {lo_cores: [], hi_cores: []}
     during = {lo_cores: [], hi_cores: []}
+    canaries = {lo_cores: [], hi_cores: []}
     rows = 0
     for t in range(trials):
         for c in (lo_cores, hi_cores):
@@ -169,12 +246,16 @@ def run_levels_interleaved(lo_cores: int, hi_cores: int, n_events: int, trials: 
                 d = run_trial(c, n_events, str(t), own_load=float(c))
             acc[c].append(d["events_per_sec"])
             during[c].append(d["max_loadavg_during"])
+            canaries[c].append(
+                [d.get("canary_min_rate"), d.get("canary_median_rate")]
+            )
             rows = d["rows"]
 
     def pack(c):
         return {"cores": c, "rows": rows, "trials": acc[c],
                 "admitted_loadavg": loads[c],
                 "max_loadavg_during": during[c],
+                "canary_min_median_rate": canaries[c],
                 "median_events_per_sec": statistics.median(acc[c]),
                 "best_events_per_sec": max(acc[c])}
 
@@ -259,11 +340,14 @@ def _append_history(result: dict, lo_c: int, hi_c: int, trials: int) -> None:
                 f"{trials} interleaved trials, {result['n_events']:,} events"
                 + (", clock-equalized A (disjoint-core spinners), quiet-gated"
                    if equalized else "")
+                + ", canary-metered"
             ),
             "admitted_loadavg_A": result["level_A"].get("admitted_loadavg"),
             "admitted_loadavg_B": result["level_B"].get("admitted_loadavg"),
             "max_loadavg_during_A": result["level_A"].get("max_loadavg_during"),
             "max_loadavg_during_B": result["level_B"].get("max_loadavg_during"),
+            "canary_min_median_rate_A": result["level_A"].get("canary_min_median_rate"),
+            "canary_min_median_rate_B": result["level_B"].get("canary_min_median_rate"),
             "scaling_efficiency_best": result["scaling_efficiency_best"],
             "scaling_efficiency_median": result["scaling_efficiency_median"],
             "speedup_best": result["speedup_best"],
