@@ -4,9 +4,13 @@ The multimodal pipeline treats payloads as opaque binary + typed metadata;
 these codecs make the DECODE step real without PIL/libav (absent from this
 environment): a complete PNG encoder/decoder (8-bit grayscale, filter 0 —
 signature, IHDR with CRC verification, full IDAT inflate + unfilter, IEND)
-and a PCM WAV encoder/decoder (RIFF/fmt/data chunk walk). MP4 gets a
-container-level sniff (ftyp box brand) — real frame decode genuinely needs
-a video library, and that gap stays loudly declared.
+and a PCM WAV encoder/decoder (RIFF/fmt/data chunk walk). MP4 gets a real
+container-level MUX/DEMUX (ISO BMFF box walk: moov/trak/mdia/minf/stbl with
+stsd/stts/stsc/stsz/stco parsed per the public ISO 14496-12 layout) — the
+demuxer recovers every sample's exact byte range and presentation
+timestamp, which is precisely what frame SAMPLING needs. Only pixel-level
+decode of the extracted access units still needs a codec library, and that
+remaining gap stays loudly declared.
 
 Everything here is driver/executor-side plain Python invoked from
 ``mapInPandas`` batches (operators/multimodal.py::decode_real) — one call
@@ -24,6 +28,8 @@ __all__ = [
     "encode_wav",
     "decode_wav",
     "sniff_mp4_brand",
+    "encode_mp4",
+    "demux_mp4",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -159,3 +165,307 @@ def sniff_mp4_brand(data: bytes) -> str:
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return data[8:12].decode("ascii", errors="replace")
     raise ValueError("not an MP4: no ftyp box")
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO BMFF container mux + demux (ISO 14496-12 public box layout).
+# The demuxer recovers each sample's exact byte range and presentation
+# timestamp from stsz/stco/stsc/stts — real frame EXTRACTION; only pixel
+# decode of the access units needs a codec library.
+# --------------------------------------------------------------------------
+
+def _u16(v: int) -> bytes:
+    return struct.pack(">H", v)
+
+
+def _u32(v: int) -> bytes:
+    return struct.pack(">I", v)
+
+
+def _mbox(tag: bytes, body: bytes) -> bytes:
+    return _u32(len(body) + 8) + tag + body
+
+
+def _fbox(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _mbox(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+_UNITY_MATRIX = b"".join(
+    _u32(v) for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+)
+
+
+def encode_mp4(
+    frames: list[bytes],
+    width: int = 64,
+    height: int = 48,
+    timescale: int = 1000,
+    frame_duration: int = 40,
+    frames_per_chunk: int = 2,
+) -> bytes:
+    """Minimal REAL MP4 (ISO BMFF): ftyp + mdat + moov with a single video
+    track whose sample table (stsd/stts/stsc/stsz/stco) indexes ``frames``
+    as individual samples laid out in chunks of ``frames_per_chunk``.
+
+    The frame bytes are treated as opaque access units (a real muxer is
+    codec-agnostic at this layer too); the container structure — box
+    sizes, absolute chunk offsets, per-sample sizes and durations — is
+    bit-accurate per the spec, so any demuxer can recover each frame's
+    exact byte range and timestamp.
+    """
+    if not frames:
+        raise ValueError("need at least one frame")
+    if frames_per_chunk < 1:
+        raise ValueError("frames_per_chunk must be >= 1")
+    ftyp = _mbox(b"ftyp", b"isom" + _u32(0x200) + b"isomiso2")
+    chunks = [
+        frames[i : i + frames_per_chunk]
+        for i in range(0, len(frames), frames_per_chunk)
+    ]
+    base = len(ftyp) + 8  # first mdat payload byte (after mdat size+tag)
+    chunk_offsets, off = [], base
+    for ch in chunks:
+        chunk_offsets.append(off)
+        off += sum(len(f) for f in ch)
+    n = len(frames)
+    duration = n * frame_duration
+
+    # stsd: one VisualSampleEntry ('mp4v'); layout per 14496-12 §8.5.2
+    vse = (
+        b"\x00" * 6
+        + _u16(1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + _u16(width)
+        + _u16(height)
+        + _u32(0x00480000)  # 72 dpi horiz
+        + _u32(0x00480000)  # 72 dpi vert
+        + _u32(0)
+        + _u16(1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + _u16(0x18)  # depth
+        + struct.pack(">h", -1)
+    )
+    stsd = _fbox(b"stsd", 0, 0, _u32(1) + _mbox(b"mp4v", vse))
+    stts = _fbox(b"stts", 0, 0, _u32(1) + _u32(n) + _u32(frame_duration))
+    # stsc runs: all chunks carry frames_per_chunk except a short tail
+    runs = [(1, frames_per_chunk)]
+    if len(chunks[-1]) != frames_per_chunk:
+        if len(chunks) == 1:
+            runs = [(1, len(chunks[-1]))]
+        else:
+            runs.append((len(chunks), len(chunks[-1])))
+    stsc = _fbox(
+        b"stsc",
+        0,
+        0,
+        _u32(len(runs))
+        + b"".join(_u32(fc) + _u32(spc) + _u32(1) for fc, spc in runs),
+    )
+    stsz = _fbox(
+        b"stsz", 0, 0, _u32(0) + _u32(n) + b"".join(_u32(len(f)) for f in frames)
+    )
+    stco = _fbox(
+        b"stco", 0, 0, _u32(len(chunks)) + b"".join(_u32(o) for o in chunk_offsets)
+    )
+    stbl = _mbox(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _fbox(b"vmhd", 0, 1, _u16(0) + _u16(0) * 3)
+    dinf = _mbox(b"dinf", _fbox(b"dref", 0, 0, _u32(1) + _fbox(b"url ", 0, 1, b"")))
+    minf = _mbox(b"minf", vmhd + dinf + stbl)
+    hdlr = _fbox(b"hdlr", 0, 0, _u32(0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    mdhd = _fbox(
+        b"mdhd",
+        0,
+        0,
+        _u32(0) + _u32(0) + _u32(timescale) + _u32(duration) + _u16(0x55C4) + _u16(0),
+    )
+    mdia = _mbox(b"mdia", mdhd + hdlr + minf)
+    tkhd = _fbox(
+        b"tkhd",
+        0,
+        7,  # enabled | in_movie | in_preview
+        _u32(0) * 2  # creation/modification (deterministic output: zero)
+        + _u32(1)  # track_id
+        + _u32(0)
+        + _u32(duration)
+        + _u32(0) * 2
+        + _u16(0)  # layer
+        + _u16(0)  # alternate_group
+        + _u16(0)  # volume (video)
+        + _u16(0)
+        + _UNITY_MATRIX
+        + _u32(width << 16)  # 16.16 fixed
+        + _u32(height << 16),
+    )
+    mvhd = _fbox(
+        b"mvhd",
+        0,
+        0,
+        _u32(0) * 2
+        + _u32(timescale)
+        + _u32(duration)
+        + _u32(0x00010000)  # rate 1.0
+        + _u16(0x0100)  # volume 1.0
+        + _u16(0)
+        + _u32(0) * 2
+        + _UNITY_MATRIX
+        + _u32(0) * 6  # pre_defined
+        + _u32(2),  # next_track_id
+    )
+    moov = _mbox(b"moov", mvhd + _mbox(b"trak", tkhd + mdia))
+    return ftyp + _mbox(b"mdat", b"".join(f for ch in chunks for f in ch)) + moov
+
+
+def _walk_boxes(data: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_end) for each box in [pos, end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body_start = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize box {tag!r}")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body_start = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < body_start - pos or pos + size > end:
+            raise ValueError(f"corrupt box {tag!r}: size {size} out of bounds")
+        yield tag, body_start, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, pos: int, end: int, tag: bytes) -> tuple[int, int]:
+    for t, s, e in _walk_boxes(data, pos, end):
+        if t == tag:
+            return s, e
+    raise ValueError(f"MP4 missing {tag.decode('ascii', 'replace')!r} box")
+
+
+def demux_mp4(data: bytes) -> dict:
+    """Real container-level MP4 demux: walks moov -> (video) trak -> mdia
+    -> minf -> stbl and cross-references stsz (sample sizes), stco/co64
+    (chunk offsets), stsc (sample-to-chunk runs) and stts (durations) into
+    per-sample ``(offset, size, ts_units)`` triples — each sample's exact
+    byte range in the file plus its presentation timestamp.
+
+    Returns ``{brand, width, height, timescale, duration, n_samples,
+    samples: [(offset, size, ts_units), ...]}``. Corrupt structure raises
+    ValueError (callers quarantine). Pixel decode of the extracted access
+    units still needs a codec library — that boundary is documented at the
+    call sites, not faked here.
+    """
+    brand = sniff_mp4_brand(data)
+    moov_s, moov_e = _find_box(data, 0, len(data), b"moov")
+
+    trak_span = None
+    width = height = 0
+    for t, s, e in _walk_boxes(data, moov_s, moov_e):
+        if t != b"trak":
+            continue
+        mdia_s, mdia_e = _find_box(data, s, e, b"mdia")
+        try:
+            h_s, h_e = _find_box(data, mdia_s, mdia_e, b"hdlr")
+            handler = data[h_s + 8 : h_s + 12]
+        except ValueError:
+            handler = b""
+        if trak_span is None or handler == b"vide":
+            trak_span = (s, e, mdia_s, mdia_e)
+            try:
+                _tk_s, tk_e = _find_box(data, s, e, b"tkhd")
+                # width/height: the last 8 body bytes, 16.16 fixed
+                # (same position relative to the END for v0 and v1)
+                width = struct.unpack(">I", data[tk_e - 8 : tk_e - 4])[0] >> 16
+                height = struct.unpack(">I", data[tk_e - 4 : tk_e])[0] >> 16
+            except (ValueError, struct.error):
+                pass
+            if handler == b"vide":
+                break
+    if trak_span is None:
+        raise ValueError("MP4 has no trak box")
+    _s, _e, mdia_s, mdia_e = trak_span
+
+    md_s, _md_e = _find_box(data, mdia_s, mdia_e, b"mdhd")
+    md_ver = data[md_s]
+    if md_ver == 0:
+        timescale, duration = struct.unpack(">II", data[md_s + 12 : md_s + 20])
+    else:
+        timescale = struct.unpack(">I", data[md_s + 20 : md_s + 24])[0]
+        duration = struct.unpack(">Q", data[md_s + 24 : md_s + 32])[0]
+
+    minf_s, minf_e = _find_box(data, mdia_s, mdia_e, b"minf")
+    stbl_s, stbl_e = _find_box(data, minf_s, minf_e, b"stbl")
+
+    def _full_body(tag_pair: tuple[bytes, ...]) -> tuple[bytes, int]:
+        for tag in tag_pair:
+            try:
+                s, e = _find_box(data, stbl_s, stbl_e, tag)
+                return data[s + 4 : e], 8 if tag == b"co64" else 4
+            except ValueError:
+                continue
+        raise ValueError(
+            f"MP4 stbl missing {'/'.join(t.decode() for t in tag_pair)!r}"
+        )
+
+    stsz_body, _ = _full_body((b"stsz",))
+    uniform, n = struct.unpack(">II", stsz_body[:8])
+    if uniform:
+        sizes = [uniform] * n
+    else:
+        if len(stsz_body) < 8 + 4 * n:
+            raise ValueError("MP4 stsz truncated")
+        sizes = list(struct.unpack(f">{n}I", stsz_body[8 : 8 + 4 * n]))
+
+    stco_body, width_bytes = _full_body((b"stco", b"co64"))
+    (n_chunks,) = struct.unpack(">I", stco_body[:4])
+    fmt = ">Q" if width_bytes == 8 else ">I"
+    offsets = [
+        struct.unpack(fmt, stco_body[4 + i * width_bytes : 4 + (i + 1) * width_bytes])[0]
+        for i in range(n_chunks)
+    ]
+
+    stsc_body, _ = _full_body((b"stsc",))
+    (n_runs,) = struct.unpack(">I", stsc_body[:4])
+    runs = [
+        struct.unpack(">III", stsc_body[4 + i * 12 : 16 + i * 12])
+        for i in range(n_runs)
+    ]
+    # expand runs -> samples-per-chunk for each chunk
+    spc = []
+    for i, (first_chunk, samples, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < n_runs else n_chunks
+        spc.extend([samples] * (last - first_chunk + 1))
+    if len(spc) != n_chunks:
+        raise ValueError("MP4 stsc does not cover every chunk")
+
+    stts_body, _ = _full_body((b"stts",))
+    (n_tt,) = struct.unpack(">I", stts_body[:4])
+    durations: list[int] = []
+    for i in range(n_tt):
+        cnt, dur = struct.unpack(">II", stts_body[4 + i * 8 : 12 + i * 8])
+        durations.extend([dur] * cnt)
+    if len(durations) < n:
+        raise ValueError("MP4 stts does not cover every sample")
+
+    samples, si, ts = [], 0, 0
+    for ci in range(n_chunks):
+        off = offsets[ci]
+        for _ in range(spc[ci]):
+            if si >= n:
+                break
+            if off + sizes[si] > len(data):
+                raise ValueError("MP4 sample range beyond end of file")
+            samples.append((off, sizes[si], ts))
+            off += sizes[si]
+            ts += durations[si]
+            si += 1
+    if si != n:
+        raise ValueError("MP4 chunk layout does not cover every sample")
+    return {
+        "brand": brand,
+        "width": width,
+        "height": height,
+        "timescale": timescale,
+        "duration": duration,
+        "n_samples": n,
+        "samples": samples,
+    }

@@ -8,14 +8,17 @@ and tested. Two decode tiers:
 - ``extract_features_stub`` / ``resize_stub`` / ``frame_sample_stub``:
   deterministic fake codec work over synthetic payloads, exercising the
   distributed pipeline shape end-to-end at any size.
-- ``decode_real``: REAL decoding via the dependency-free codecs in
-  functions/codecs.py — full PNG decode (signature, IHDR + CRC, IDAT
-  inflate + unfilter, mean pixel) and WAV PCM decode (RIFF chunk walk,
-  rate/bits/samples, mean amplitude); MP4 is sniffed at the container
-  level (ftyp brand) because frame decode genuinely needs a video
-  library — that single remaining gap is import-gated and loud
-  (rows come back decoded=false with the error string, never silently
-  wrong).
+- ``decode_real`` / ``frame_sample_real``: REAL decoding via the
+  dependency-free codecs in functions/codecs.py — full PNG decode
+  (signature, IHDR + CRC, IDAT inflate + unfilter, mean pixel), WAV PCM
+  decode (RIFF chunk walk, rate/bits/samples, mean amplitude), and MP4
+  container demux (moov/trak/stbl box walk: stsz/stco/stsc/stts
+  cross-referenced into per-sample byte ranges + timestamps), so frame
+  sampling extracts each video's REAL access-unit bytes at REAL
+  presentation times. Only pixel-level decode of those access units
+  still needs a codec library — that boundary is loud (documented per
+  call site; corrupt payloads come back decoded=false with the error
+  string, never silently wrong).
 
 Scale notes: binary payloads make rows fat — the helpers below keep
 batches bounded by bytes (``target_batch_bytes``), not row count; the
@@ -42,6 +45,7 @@ __all__ = [
     "extract_features_stub",
     "resize_stub",
     "frame_sample_stub",
+    "frame_sample_real",
     "decode_real",
 ]
 
@@ -242,16 +246,75 @@ def frame_sample_stub(
     return media.repartition(n_parts).mapInPandas(gen, FRAME_SCHEMA)
 
 
+def frame_sample_real(
+    media: DataFrame,
+    n_frames: int = 4,
+    target_batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Uniform frame sampling from REAL MP4 payloads: the container demux
+    (functions/codecs.py::demux_mp4 — stsz/stco/stsc/stts cross-reference)
+    recovers every sample's exact byte range and presentation timestamp;
+    ``n_frames`` samples are picked uniformly across the track and each
+    output row carries the REAL access-unit bytes and REAL timestamp
+    (media timescale converted to ms). This is what a production demuxer
+    emits for a downstream frame decoder — pixel decode of the extracted
+    units is the only step still needing a codec library.
+
+    Non-video mimes contribute zero rows (same skip a real demuxer does);
+    corrupt containers also contribute zero rows here — ``decode_real`` is
+    the quarantine surface that reports the parse error per media_id.
+    """
+    from ..functions.codecs import demux_mp4
+
+    n_parts = _byte_bounded_parts(media, target_batch_bytes)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for mid, mime, p in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                if not (mime or "").startswith("video/") or not p:
+                    continue
+                try:
+                    b = bytes(p)
+                    d = demux_mp4(b)
+                except (ValueError, IndexError):
+                    continue  # decode_real reports the error for this id
+                n = d["n_samples"]
+                if n == 0:
+                    continue
+                take = min(n_frames, n)
+                # uniform positions across the track, always including 0
+                picks = sorted({(i * n) // take for i in range(take)})
+                ts_scale = 1000.0 / max(d["timescale"], 1)
+                for si in picks:
+                    off, size, ts_units = d["samples"][si]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(si)
+                    out["ts_ms"].append(int(ts_units * ts_scale))
+                    out["frame"].append(b[off : off + size])
+            yield pd.DataFrame(out).astype(
+                {"media_id": "int64", "frame_idx": "int32", "ts_ms": "int64"}
+            ) if out["media_id"] else pd.DataFrame(
+                {"media_id": pd.Series(dtype="int64"),
+                 "frame_idx": pd.Series(dtype="int32"),
+                 "ts_ms": pd.Series(dtype="int64"),
+                 "frame": pd.Series(dtype=object)}
+            )
+
+    return media.repartition(n_parts).mapInPandas(gen, FRAME_SCHEMA)
+
+
 def synth_media_real(
     spark, n: int, seed: int = 42, target_batch_bytes: int = 64 << 20
 ) -> DataFrame:
     """Media table with REAL payload bytes: valid PNGs (8-bit grayscale,
-    deterministic pixels), valid PCM WAVs, and ftyp-sniffable MP4 stubs —
-    mime cycles by media_id like :func:`synth_media`. Generation is
+    deterministic pixels), valid PCM WAVs, and valid MP4 containers (real
+    moov/stbl sample tables over deterministic access-unit bytes) — mime
+    cycles by media_id like :func:`synth_media`. Generation is
     ``mapInPandas`` over a range frame (distributed, deterministic from
     (seed, media_id); no driver-side byte building).
     """
-    from ..functions.codecs import encode_png, encode_wav
+    from ..functions.codecs import encode_mp4, encode_png, encode_wav
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -276,12 +339,16 @@ def synth_media_real(
                     out["payload"].append(encode_wav(samples, sample_rate=16_000))
                     w = h = 0
                 else:
+                    n_fr = 3 + (rnd % 6)
+                    frames = [
+                        bytes(((rnd >> 2) + 13 * f + i) % 256 for i in range(24 + f))
+                        for f in range(n_fr)
+                    ]
                     out["mime"].append("video/mp4")
                     out["payload"].append(
-                        b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"
-                        + bytes((rnd + i) % 256 for i in range(64))
+                        encode_mp4(frames, width=w * 4, height=h * 4)
                     )
-                    w = h = 0
+                    w, h = w * 4, h * 4
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -315,16 +382,18 @@ def decode_real(media: DataFrame, target_batch_bytes: int = 64 << 20) -> DataFra
       (signature, IHDR + CRC verify, IDAT inflate, filter-0 unfilter) ->
       width/height/n_samples/mean pixel value.
     - ``audio/wav``: RIFF chunk walk -> sample_rate/n_samples/mean |amp|.
-    - ``video/mp4``: container sniff (ftyp major brand). Frame decode
-      requires a real video library; when one is importable (``av``) this
-      is where it plugs in — until then video rows return decoded=false
-      with the brand and a declared error, never fake frames.
+    - ``video/mp4``: REAL container demux (moov/trak/stbl box walk;
+      stsz/stco/stsc/stts cross-referenced) -> track width/height, sample
+      count, mean access-unit size, brand. Pixel decode of the extracted
+      units requires a codec library; when one is importable (``av``)
+      that is where it plugs in — the boundary is recorded in the error
+      column ("pixel decode needs a video library"), never faked.
 
     Corrupt payloads come back decoded=false with the parse error string —
     a 100 TB ingest must quarantine bad bytes, not die on them. Batches are
     byte-bounded like every other fat-row pass here.
     """
-    from ..functions.codecs import decode_png, decode_wav, sniff_mp4_brand
+    from ..functions.codecs import decode_png, decode_wav, demux_mp4
 
     n_parts = _byte_bounded_parts(media, target_batch_bytes)
 
@@ -353,10 +422,17 @@ def decode_real(media: DataFrame, target_batch_bytes: int = 64 << 20) -> DataFra
                             n_samples=d["n_samples"], mean_value=d["mean_value"],
                         )
                     elif mime == "video/mp4":
+                        d = demux_mp4(b)
+                        sizes = [s for _o, s, _t in d["samples"]]
                         rec.update(
-                            brand=sniff_mp4_brand(b),
-                            error="frame decode needs a video library (av); "
-                            "container sniff only",
+                            decoded=True,
+                            brand=d["brand"],
+                            width=d["width"] or None,
+                            height=d["height"] or None,
+                            n_samples=d["n_samples"],
+                            mean_value=(sum(sizes) / len(sizes)) if sizes else 0.0,
+                            error="container demux real; pixel decode of the "
+                            "access units needs a video library (av)",
                         )
                     else:
                         rec.update(error=f"no decoder for mime {mime!r}")

@@ -460,7 +460,8 @@ def test_codecs_png_wav_roundtrip():
 def test_decode_real_on_real_payloads(spark):
     """decode_real decodes REAL bytes distributed through mapInPandas:
     PNGs yield verified dims + mean pixel, WAVs yield rate + samples, MP4s
-    sniff the brand and declare the frame-decode gap, corrupt payloads
+    demux the container (sample table walked; track dims + sample count
+    recovered) and declare the pixel-decode boundary, corrupt payloads
     quarantine with an error instead of failing the job."""
     from embulk_input_mixpanel_spark.operators.multimodal import (
         decode_real, synth_media_real,
@@ -479,8 +480,12 @@ def test_decode_real_on_real_payloads(spark):
         elif r["mime"] == "audio/wav":
             assert r["decoded"] and r["sample_rate"] == 16000 and r["n_samples"] == 256
         else:
-            assert not r["decoded"] and r["brand"] == "isom"
-            assert "video library" in r["error"]
+            assert r["decoded"] and r["brand"] == "isom"
+            assert (r["width"], r["height"]) == (
+                src[mid]["width"], src[mid]["height"])
+            assert 3 <= r["n_samples"] <= 8  # synth emits 3..8 frames
+            assert r["mean_value"] > 0  # mean access-unit bytes
+            assert "pixel decode" in r["error"]
     # corrupt payload -> quarantined row, not a job failure
     bad = spark.createDataFrame(
         [(99, "image/png", 0, 0, bytearray(b"garbage"))],
@@ -488,6 +493,63 @@ def test_decode_real_on_real_payloads(spark):
     )
     row = decode_real(bad).collect()[0]
     assert not row["decoded"] and "signature" in row["error"]
+
+
+def test_mp4_mux_demux_roundtrip():
+    """ISO BMFF mux -> demux recovers every sample's exact byte range and
+    timestamp, across multi-chunk layouts, a short tail chunk, and the
+    single-run case; structural corruption raises instead of mis-slicing."""
+    from embulk_input_mixpanel_spark.functions.codecs import demux_mp4, encode_mp4
+
+    frames = [bytes([i] * (10 + 3 * i)) for i in range(7)]
+    mp4 = encode_mp4(frames, width=64, height=48, frames_per_chunk=3)
+    d = demux_mp4(mp4)
+    assert (d["brand"], d["width"], d["height"]) == ("isom", 64, 48)
+    assert d["n_samples"] == 7 and d["timescale"] == 1000 and d["duration"] == 280
+    for i, (off, size, ts) in enumerate(d["samples"]):
+        assert mp4[off : off + size] == frames[i]
+        assert ts == i * 40
+    # one full chunk exactly (single stsc run)
+    d2 = demux_mp4(encode_mp4(frames[:4], frames_per_chunk=4))
+    assert d2["n_samples"] == 4
+    with pytest.raises(ValueError):
+        demux_mp4(mp4[:40])  # truncated inside mdat
+    with pytest.raises(ValueError):
+        demux_mp4(b"\x00" * 32)  # no ftyp
+
+
+def test_frame_sample_real_extracts_true_access_units(spark):
+    """frame_sample_real emits the REAL access-unit bytes at REAL
+    presentation timestamps for every video in the table (uniform picks,
+    ids preserved); non-video rows contribute nothing; corrupt videos are
+    skipped here (decode_real is the quarantine surface)."""
+    from embulk_input_mixpanel_spark.functions.codecs import demux_mp4
+    from embulk_input_mixpanel_spark.operators.multimodal import (
+        frame_sample_real, synth_media_real,
+    )
+
+    media = synth_media_real(spark, 30, seed=11)
+    vids = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("mime = 'video/mp4'").collect()
+    }
+    rows = frame_sample_real(media, n_frames=3).collect()
+    assert {r["media_id"] for r in rows} == set(vids)
+    for r in rows:
+        d = demux_mp4(vids[r["media_id"]])
+        off, size, ts_units = d["samples"][r["frame_idx"]]
+        assert bytes(r["frame"]) == vids[r["media_id"]][off : off + size]
+        assert r["ts_ms"] == int(ts_units * 1000 / d["timescale"])
+    by_media: dict[int, int] = {}
+    for r in rows:
+        by_media[r["media_id"]] = by_media.get(r["media_id"], 0) + 1
+    assert all(1 <= c <= 3 for c in by_media.values())
+    # corrupt video row -> zero frames, no failure
+    bad = spark.createDataFrame(
+        [(7, "video/mp4", 0, 0, bytearray(b"\x00\x00\x00\x14ftypisomgarbage"))],
+        "media_id long, mime string, width int, height int, payload binary",
+    )
+    assert frame_sample_real(bad).count() == 0
 
 
 def test_multimodal_sizing_never_full_scans_payload(spark, tmp_table_dir):
