@@ -202,6 +202,7 @@ def encode_mp4(
     timescale: int = 1000,
     frame_duration: int = 40,
     frames_per_chunk: int = 2,
+    codec: str = "mp4v",
 ) -> bytes:
     """Minimal REAL MP4 (ISO BMFF): ftyp + mdat + moov with a single video
     track whose sample table (stsd/stts/stsc/stsz/stco) indexes ``frames``
@@ -212,11 +213,20 @@ def encode_mp4(
     sizes, absolute chunk offsets, per-sample sizes and durations — is
     bit-accurate per the spec, so any demuxer can recover each frame's
     exact byte range and timestamp.
+
+    ``codec`` is the stsd sample-entry fourcc. With ``codec="png "`` (a
+    registered ISO/QuickTime video sample entry) and frames that are PNG
+    images, the file is a fully pixel-decodable intra-only video — the
+    one video codec this repo can decode end-to-end with zero external
+    libraries (operators/multimodal.py::decode_real, frame_decode_real).
     """
     if not frames:
         raise ValueError("need at least one frame")
     if frames_per_chunk < 1:
         raise ValueError("frames_per_chunk must be >= 1")
+    fourcc = codec.encode("ascii")
+    if len(fourcc) != 4:
+        raise ValueError(f"codec fourcc must be exactly 4 chars, got {codec!r}")
     ftyp = _mbox(b"ftyp", b"isom" + _u32(0x200) + b"isomiso2")
     chunks = [
         frames[i : i + frames_per_chunk]
@@ -245,7 +255,7 @@ def encode_mp4(
         + _u16(0x18)  # depth
         + struct.pack(">h", -1)
     )
-    stsd = _fbox(b"stsd", 0, 0, _u32(1) + _mbox(b"mp4v", vse))
+    stsd = _fbox(b"stsd", 0, 0, _u32(1) + _mbox(fourcc, vse))
     stts = _fbox(b"stts", 0, 0, _u32(1) + _u32(n) + _u32(frame_duration))
     # stsc runs: all chunks carry frames_per_chunk except a short tail
     runs = [(1, frames_per_chunk)]
@@ -348,11 +358,13 @@ def demux_mp4(data: bytes) -> dict:
     per-sample ``(offset, size, ts_units)`` triples — each sample's exact
     byte range in the file plus its presentation timestamp.
 
-    Returns ``{brand, width, height, timescale, duration, n_samples,
-    samples: [(offset, size, ts_units), ...]}``. Corrupt structure raises
-    ValueError (callers quarantine). Pixel decode of the extracted access
-    units still needs a codec library — that boundary is documented at the
-    call sites, not faked here.
+    Returns ``{brand, codec, width, height, timescale, duration,
+    n_samples, samples: [(offset, size, ts_units), ...]}`` where ``codec``
+    is the stsd sample-entry fourcc. Corrupt structure raises ValueError
+    (callers quarantine). Pixel decode of the extracted access units needs
+    a codec for that fourcc: ``"png "`` tracks decode fully in-repo via
+    :func:`decode_png`; other fourccs need an external library — that
+    boundary is documented at the call sites, not faked.
     """
     brand = sniff_mp4_brand(data)
     moov_s, moov_e = _find_box(data, 0, len(data), b"moov")
@@ -394,6 +406,18 @@ def demux_mp4(data: bytes) -> dict:
 
     minf_s, minf_e = _find_box(data, mdia_s, mdia_e, b"minf")
     stbl_s, stbl_e = _find_box(data, minf_s, minf_e, b"stbl")
+
+    # stsd first sample entry's fourcc = the track's codec
+    codec = ""
+    try:
+        sd_s, sd_e = _find_box(data, stbl_s, stbl_e, b"stsd")
+        # body: 4B version/flags + 4B entry_count, then the first sample
+        # entry as an ordinary box (size + fourcc)
+        for tag, _s, _e in _walk_boxes(data, sd_s + 8, sd_e):
+            codec = tag.decode("ascii", errors="replace")
+            break
+    except ValueError:
+        pass
 
     def _full_body(tag_pair: tuple[bytes, ...]) -> tuple[bytes, int]:
         for tag in tag_pair:
@@ -462,6 +486,7 @@ def demux_mp4(data: bytes) -> dict:
         raise ValueError("MP4 chunk layout does not cover every sample")
     return {
         "brand": brand,
+        "codec": codec,
         "width": width,
         "height": height,
         "timescale": timescale,

@@ -480,12 +480,29 @@ def test_decode_real_on_real_payloads(spark):
         elif r["mime"] == "audio/wav":
             assert r["decoded"] and r["sample_rate"] == 16000 and r["n_samples"] == 256
         else:
+            # 'png ' video track: FULL pixel decode, no declared boundary
             assert r["decoded"] and r["brand"] == "isom"
             assert (r["width"], r["height"]) == (
                 src[mid]["width"], src[mid]["height"])
             assert 3 <= r["n_samples"] <= 8  # synth emits 3..8 frames
-            assert r["mean_value"] > 0  # mean access-unit bytes
-            assert "pixel decode" in r["error"]
+            assert r["error"] is None
+            # exact mean pixel value, recomputed from the generator law
+            rnd = (7 * 1_000_003 + mid) & 0x7FFFFFFF
+            w, h = 4 + (rnd % 13), 4 + ((rnd >> 8) % 13)
+            n_fr = 3 + (rnd % 6)
+            px = [
+                ((rnd >> 2) + 13 * f + i) % 256
+                for f in range(n_fr) for i in range(w * h)
+            ]
+            assert r["mean_value"] == pytest.approx(sum(px) / len(px))
+    # a non-PNG fourcc still demuxes but declares the pixel boundary
+    from embulk_input_mixpanel_spark.functions.codecs import encode_mp4
+    opaque = spark.createDataFrame(
+        [(98, "video/mp4", 0, 0, bytearray(encode_mp4([b"raw-au-1", b"raw-au-2"])))],
+        "media_id long, mime string, width int, height int, payload binary",
+    )
+    orow = decode_real(opaque).collect()[0]
+    assert orow["decoded"] and "'mp4v'" in orow["error"]
     # corrupt payload -> quarantined row, not a job failure
     bad = spark.createDataFrame(
         [(99, "image/png", 0, 0, bytearray(b"garbage"))],
@@ -550,6 +567,38 @@ def test_frame_sample_real_extracts_true_access_units(spark):
         "media_id long, mime string, width int, height int, payload binary",
     )
     assert frame_sample_real(bad).count() == 0
+
+
+def test_frame_decode_real_pixel_decodes_png_video(spark):
+    """demux -> uniform frame sample -> PIXEL decode, end-to-end with zero
+    external libraries: synth 'png ' video tracks carry real PNG access
+    units, so every sampled frame yields true dims + an exact mean luma
+    (recomputed from the generator law); a non-PNG access unit
+    quarantines per-frame instead of failing the job."""
+    from embulk_input_mixpanel_spark.operators.multimodal import (
+        frame_decode_real, frame_sample_real, synth_media_real,
+    )
+
+    seed = 13
+    media = synth_media_real(spark, 30, seed=seed)
+    rows = frame_decode_real(frame_sample_real(media, n_frames=3)).collect()
+    assert rows and all(r["decoded"] for r in rows)
+    for r in rows:
+        rnd = (seed * 1_000_003 + r["media_id"]) & 0x7FFFFFFF
+        w, h = 4 + (rnd % 13), 4 + ((rnd >> 8) % 13)
+        assert (r["width"], r["height"]) == (w, h)
+        f = r["frame_idx"]
+        px = [((rnd >> 2) + 13 * f + i) % 256 for i in range(w * h)]
+        assert r["mean_luma"] == pytest.approx(sum(px) / len(px))
+        assert r["ts_ms"] == f * 40  # 25 fps default timescale
+    # an mp4v (opaque access unit) frame quarantines per-frame
+    from embulk_input_mixpanel_spark.functions.codecs import encode_mp4
+    opaque = spark.createDataFrame(
+        [(5, "video/mp4", 0, 0, bytearray(encode_mp4([b"not-a-png"])))],
+        "media_id long, mime string, width int, height int, payload binary",
+    )
+    q = frame_decode_real(frame_sample_real(opaque)).collect()
+    assert len(q) == 1 and not q[0]["decoded"] and "signature" in q[0]["error"]
 
 
 def test_multimodal_sizing_never_full_scans_payload(spark, tmp_table_dir):
