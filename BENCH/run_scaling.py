@@ -206,7 +206,14 @@ def _canary_probe(secs: float = 5.0, cpu: int = 30) -> float:
         return 0.0
 
 
-_best_canary = 0.0
+# Seeded from SCALE_CANARY_REF when set: the quiet-host canary rate is a
+# stable property of this host (~75-82 it/s across rounds 4-5), and a
+# relative-to-best-seen gate is blind when the RUN STARTS on a contended
+# host (best starts low, so everything admits — round-5 batch-1 lost a
+# 17-minute trial to exactly this). An absolute reference makes admission
+# mean "the physical host currently delivers quiet-baseline speed",
+# independent of when the run began.
+_best_canary = float(os.environ.get("SCALE_CANARY_REF", "0"))
 
 
 def wait_phys_quiet(timeout: float, frac: float = 0.92) -> float:
@@ -284,22 +291,54 @@ def run_levels_interleaved(lo_cores: int, hi_cores: int, n_events: int, trials: 
     quiet_load = float(os.environ.get("SCALE_QUIET_LOAD", "3.0"))
     quiet_timeout = float(os.environ.get("SCALE_QUIET_TIMEOUT", "900"))
     equalize = os.environ.get("SCALE_EQUALIZE_CLOCKS", "1") == "1"
+    max_retries = int(os.environ.get("SCALE_MAX_RETRIES", "2"))
     acc = {lo_cores: [], hi_cores: []}
     loads = {lo_cores: [], hi_cores: []}
     during = {lo_cores: [], hi_cores: []}
     canaries = {lo_cores: [], hi_cores: []}
+    discarded = {lo_cores: [], hi_cores: []}
     rows = 0
     phys_timeout = float(os.environ.get("SCALE_PHYS_TIMEOUT", "900"))
     admit_canary = {lo_cores: [], hi_cores: []}
     for t in range(trials):
         for c in (lo_cores, hi_cores):
-            loads[c].append(wait_quiet(quiet_load, quiet_timeout))
-            admit_canary[c].append(wait_phys_quiet(phys_timeout))
-            if c == lo_cores and equalize and hi_cores > lo_cores:
-                with spinners(lo_cores, hi_cores - lo_cores):
-                    d = run_trial(c, n_events, str(t), own_load=float(hi_cores))
-            else:
-                d = run_trial(c, n_events, str(t), own_load=float(c))
+            # witnessed-contamination retry (round-5 batch-1: admission
+            # gates can't see contention that ARRIVES mid-trial; the
+            # in-trial canary can). If the trial's own canary shows the
+            # physical host ran well below quiet baseline DURING the
+            # timed window, the number measures the co-tenant, not the
+            # engine — discard it (recorded, never silently) and re-run
+            # the slot after re-gating. Outcome-independent: the
+            # criterion is the canary's speed, never the throughput.
+            for attempt in range(max_retries + 1):
+                loads[c].append(wait_quiet(quiet_load, quiet_timeout))
+                admit_canary[c].append(wait_phys_quiet(phys_timeout))
+                if c == lo_cores and equalize and hi_cores > lo_cores:
+                    with spinners(lo_cores, hi_cores - lo_cores):
+                        d = run_trial(c, n_events, str(t), own_load=float(hi_cores))
+                else:
+                    d = run_trial(c, n_events, str(t), own_load=float(c))
+                ref = _best_canary
+                cmin = d.get("canary_min_rate")
+                cmed = d.get("canary_median_rate")
+                tainted = (
+                    ref > 0 and cmin is not None and cmed is not None
+                    and (cmed < 0.85 * ref or cmin < 0.5 * ref)
+                )
+                if not tainted or attempt == max_retries:
+                    if tainted:
+                        print(f"  [witness] trial {t} local[{c}] still "
+                              f"contaminated after {max_retries} retries — "
+                              f"keeping (flagged)", file=sys.stderr)
+                    break
+                discarded[c].append(
+                    {"trial": t, "events_per_sec": round(d["events_per_sec"], 1),
+                     "canary_min_rate": cmin, "canary_median_rate": cmed,
+                     "canary_ref": round(ref, 1)}
+                )
+                print(f"  [witness] trial {t} local[{c}] contaminated "
+                      f"(canary {cmin:.1f}/{cmed:.1f} vs ref {ref:.1f}) — "
+                      f"discarding and re-running", file=sys.stderr)
             acc[c].append(d["events_per_sec"])
             during[c].append(d["max_loadavg_during"])
             canaries[c].append(
@@ -313,6 +352,7 @@ def run_levels_interleaved(lo_cores: int, hi_cores: int, n_events: int, trials: 
                 "admitted_canary_rate": admit_canary[c],
                 "max_loadavg_during": during[c],
                 "canary_min_median_rate": canaries[c],
+                "discarded_trials": discarded[c],
                 "median_events_per_sec": statistics.median(acc[c]),
                 "best_events_per_sec": max(acc[c])}
 
@@ -397,7 +437,7 @@ def _append_history(result: dict, lo_c: int, hi_c: int, trials: int) -> None:
                 f"{trials} interleaved trials, {result['n_events']:,} events"
                 + (", clock-equalized A (disjoint-core spinners), quiet-gated"
                    if equalized else "")
-                + ", canary-metered, phys-gated"
+                + ", canary-metered, phys-gated, witness-retried"
             ),
             "admitted_loadavg_A": result["level_A"].get("admitted_loadavg"),
             "admitted_loadavg_B": result["level_B"].get("admitted_loadavg"),
@@ -407,6 +447,9 @@ def _append_history(result: dict, lo_c: int, hi_c: int, trials: int) -> None:
             "max_loadavg_during_B": result["level_B"].get("max_loadavg_during"),
             "canary_min_median_rate_A": result["level_A"].get("canary_min_median_rate"),
             "canary_min_median_rate_B": result["level_B"].get("canary_min_median_rate"),
+            "discarded_trials_A": result["level_A"].get("discarded_trials"),
+            "discarded_trials_B": result["level_B"].get("discarded_trials"),
+            "canary_ref": float(os.environ.get("SCALE_CANARY_REF", "0")) or None,
             "scaling_efficiency_best": result["scaling_efficiency_best"],
             "scaling_efficiency_median": result["scaling_efficiency_median"],
             "speedup_best": result["speedup_best"],
