@@ -321,9 +321,18 @@ def run_levels_interleaved(lo_cores: int, hi_cores: int, n_events: int, trials: 
                 ref = _best_canary
                 cmin = d.get("canary_min_rate")
                 cmed = d.get("canary_median_rate")
+                # min-rate is the primary witness: burst vCPU steal shows
+                # as 1-second canary stalls (observed 7-21/s vs 75
+                # baseline) while the median only sags to ~62-68 — a
+                # range the canary ALSO reaches on an exclusive host
+                # during a trial (its core shares a physical core /
+                # SMT sibling with the 8 busy vCPUs of our own gang), so
+                # a tight median threshold would retry clean trials
+                # forever. 0.75*ref median catches sustained co-tenancy;
+                # 0.5*ref min catches burst steal.
                 tainted = (
                     ref > 0 and cmin is not None and cmed is not None
-                    and (cmed < 0.85 * ref or cmin < 0.5 * ref)
+                    and (cmed < 0.75 * ref or cmin < 0.5 * ref)
                 )
                 if not tainted or attempt == max_retries:
                     if tainted:
