@@ -85,8 +85,11 @@ def main() -> None:
     spark = get_spark("explain-audit", cores=4)
     spark.sparkContext.setLogLevel("ERROR")
     out = ["# Physical plans (explain formatted) — audit artifacts\n"]
+    # audit spans both registries: main (driver-gated) + aux (subsumed
+    # entries kept independently checkable, workloads.py AUX_QUERIES)
+    registry = {**workloads.SPARK_QUERIES, **workloads.AUX_QUERIES}
     for name in AUDIT:
-        df = workloads.SPARK_QUERIES[name](spark, sf_dir)
+        df = registry[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
