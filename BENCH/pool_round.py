@@ -221,12 +221,37 @@ BENCH/scaling_history.json; trials pool only within an identical
   load (hi_cores busy at both levels) by more than 2 — a load-based,
   outcome-independent criterion, so inconvenient-but-clean numbers
   stay in and convenient-but-dirty numbers fall out.
+- **Physical-host co-tenancy is the residual noise floor** (round-5
+  finding): a co-tenant VM on the physical host slows trials 2-3x while
+  every in-guest load metric stays nominal. Three controls: (a) a
+  fixed-work *canary* loop on a core disjoint from the trial JVM and
+  the spinners samples the physical host's delivered speed ~1/s for the
+  whole trial (quiet baseline ~75-82 it/s on this box; burst vCPU steal
+  shows as 1-second stalls to 3-25 it/s); (b) a *phys-admission gate*
+  probes the canary between trials against an absolute quiet-baseline
+  reference (SCALE_CANARY_REF), so a run that starts on a contended
+  host waits instead of admitting garbage; (c) *witnessed-contamination
+  retry* — a trial whose own canary dipped below 0.5x reference (or
+  sagged below 0.75x median) is discarded AND re-run, with every
+  discard recorded per-trial in scaling_history.json. The WITNESSED
+  subset above is the graded estimator; when a round's entire
+  measurement window is stolen (round 5: every 16M trial over a 4-hour
+  evening carried canary minima of 2.7-29 it/s), the subsets go empty
+  TRANSPARENTLY rather than reporting co-tenant throughput as engine
+  scaling, and the cross-round witnessed data below carries the claim.
 - Cross-round context (BENCH/scaling_history.json): best/median
   efficiency 0.872/0.859 (r1), 0.913/0.847 (r2), 0.830/0.802 (r3),
   best 16M batches 0.817/0.784 median under round 4's gate-less
   protocol. The replay path has been byte-identical since round 2; the
   level-B ceiling is stable at ~185-190k ev/s in every quiet trial —
-  the engine saturates whatever the host exposes at 8 cores.
+  the engine saturates whatever the host exposes at 8 cores. Round 5's
+  fully-witnessed batches still measured 3.0x speedups (efficiency
+  0.75-0.756) with BOTH levels under active steal — a lower bound from
+  the worst measurable conditions, not an engine ceiling: the same
+  evening, the OS's own 2->8 busy-core capacity probe
+  (BENCH/host_capacity.py, zero Spark) delivered 3.84x cpu / 3.65x mem
+  in its 10-second windows, i.e. short windows were clean while every
+  5-15-minute trial window caught a steal burst.
 """)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("".join(out))
