@@ -29,12 +29,15 @@ Pipeline (each stage cites its reference analog):
 
 Per batch exactly three jobs are scheduled: (1) a column-pruned
 HWM/metrics pre-aggregation over (source_partition, event_seq), (2) a
-combined discovery pass over the winners (touched buckets + new prop
-keys), (3) the merge write. The winners DataFrame is deliberately NOT
-persisted: jobs (2) and (3) share its lineage, so the DAG scheduler
-reuses the latest-wins shuffle map stage across them, while a columnar
-cache of map-typed rows would cost more (build + GC) than re-running the
-cheap reduce side.
+combined discovery pass (touched buckets + new prop keys) over a NARROW
+latest-wins twin — key + order + props only, no content (the order
+prefix is unique per key, so the narrow winner is the full winner minus
+payload; separate actions do not share shuffle files, so narrowing this
+job's exchange is a straight bytes win), (3) the merge write, whose
+union is repartitioned by storage bucket ONCE so the latest-wins
+aggregation and the write layout share a single exchange. The winners
+DataFrame is deliberately NOT persisted: a columnar cache of map-typed
+rows costs more (build + GC) than the narrow recompute.
 """
 
 from __future__ import annotations
@@ -207,9 +210,24 @@ def apply_batch(
     )
 
     # --- one combined discovery pass: touched buckets + new prop keys ---
+    # Runs its own NARROW latest-wins (key + order + props only): the
+    # order prefix (commit_seq, event_seq, event_id) is unique per key,
+    # so the narrow winner row is the full winner row minus payload —
+    # identical buckets and prop keys. Shuffle reuse does NOT span the
+    # discovery and merge actions (separate query executions build
+    # separate exchanges), so pre-r6 this job shuffled the full row
+    # WIDTH — content included — twice per batch; projecting content out
+    # here halves the discovery exchange (guide §2.3 project before the
+    # exchange).
     promoted = list(promoted_keys) if promoted_keys is not None else _current_promoted(table)
+    narrow = survivors.select(*KEY_COLS, *ORDER_COLS, "event_id", "props")
+    w_narrow = (
+        latest_wins(narrow, KEY_COLS, ORDER_COLS, tiebreak_col="event_id")
+        .withColumn("_pm", F.from_json("props", T.MapType(T.StringType(), T.StringType())))
+        .withColumn("bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int"))
+    )
     disc = (
-        winners.select("bucket", F.explode_outer(F.map_keys("_pm")).alias("k"))
+        w_narrow.select("bucket", F.explode_outer(F.map_keys("_pm")).alias("k"))
         .agg(
             F.collect_set("bucket").alias("buckets"),
             F.collect_set("k").alias("keys"),
@@ -230,6 +248,7 @@ def apply_batch(
         F.array(*[F.lit(k) for k in hidden]) if hidden else F.array().cast("array<string>")
     )
     payload = winners.select(
+        "bucket",
         "repo",
         "path",
         "commit",
@@ -268,16 +287,25 @@ def apply_batch(
         obs_keys = Observation("keys")
         payload = payload.observe(obs_keys, F.count(F.lit(1)).alias("n_winners"))
 
-    merged = merge_upsert(target.drop("bucket"), payload, KEY_COLS, ORDER_COLS)
-    merged = merged.withColumn(
+    # single-shuffle MERGE: the union is repartitioned by the storage
+    # bucket ONCE; the latest-wins aggregation (keyed bucket+repo+path,
+    # bucket functionally determined by the key) then needs no exchange of
+    # its own, and the output is already laid out one partition per
+    # touched bucket for the write. Pre-r6 this path paid two full-width
+    # exchanges per batch (agg shuffle + write repartition).
+    tgt = target.withColumn(
+        "bucket", F.col("bucket").cast("int")
+    ) if "bucket" in target.columns else target.withColumn(
         "bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(nb)).cast("int")
+    )
+    merged = merge_upsert(
+        tgt, payload, ["bucket", *KEY_COLS], ORDER_COLS,
+        pre_repartition=(max(len(touched), 1), ["bucket"]),
     )
 
     if observe_metrics:
         obs_out = Observation("out")
         merged = merged.observe(obs_out, F.count(F.lit(1)).alias("n_out"))
-    # one output partition per touched bucket -> bounded, clean file layout
-    merged = merged.repartition(max(len(touched), 1), "bucket")
 
     snap = table.commit_rewrite(
         merged, touched, properties=props, schema=out_schema,

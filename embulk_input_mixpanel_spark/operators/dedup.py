@@ -342,6 +342,27 @@ def shingles(
     )
 
 
+def _ordered_pairs(ids: Column) -> Column:
+    """All (a, b) pairs with a < b from a SORTED distinct array, expanded
+    in-row: flatten of per-index tail slices.
+
+    Replaces the explode-explode-filter shape: that generates n^2 rows and
+    keeps n(n-1)/2; this emits exactly the kept pairs (half the Generate
+    output, no post-filter). ``ids`` must be a materialized column
+    reference (the caller array_sorts in its own projection first — the
+    CLAUDE.md HOF rule), and sorted so that slice tails give a < b.
+    """
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def _jaccard_from_intersections(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -372,11 +393,17 @@ def ngram_jaccard_pairs(
     :func:`jaccard_pairs_lsh` is the linear-cost path at scale.
 
     Plan shape: ONE corpus explosion -> posting lists (one shuffle that
-    also applies dedup + df-cap) -> intra-posting pair expansion (never a
-    self-JOIN of the exploded stream: the posting shuffle is computed once
-    and reused by both the sizes and the intersection branches).
+    also applies dedup + df-cap), MATERIALIZED once (eager local
+    checkpoint) so the sizes branch and the two size-join references do
+    not each recompute the explosion+posting subtree (pre-r6 the corpus
+    was exploded 3x — branch-specific column pruning defeats Spark's
+    exchange reuse); then intra-posting ORDERED pair expansion in-row
+    (:func:`_ordered_pairs` — emits each a < b pair once instead of
+    exploding the full n^2 cross).
     """
-    posting = shingle_postings(df, text_col, id_col, n, max_shingle_docs)
+    posting = shingle_postings(df, text_col, id_col, n, max_shingle_docs).localCheckpoint(
+        eager=True
+    )
     sizes = (
         posting.select(F.explode("ids").alias("id"))
         .groupBy("id")
@@ -384,9 +411,9 @@ def ngram_jaccard_pairs(
     )
     inter = (
         posting.filter(F.size("ids") >= 2)  # singletons produce no pairs
-        .select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.array_sort("ids").alias("ids"))
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -487,9 +514,9 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         bucket = bucket.filter(F.size("ids") <= max_bucket_size)
     return (
-        bucket.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        bucket.select(F.array_sort("ids").alias("ids"))
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -518,18 +545,26 @@ def jaccard_pairs_lsh(
 
     Plan shape: ONE corpus explosion -> posting lists (dedup + df-cap in
     one shuffle) -> ONE per-doc aggregation computing BOTH the shingle
-    set and all k minhash components; the exact re-score then joins the
-    small candidate set back to the per-doc shingle arrays and intersects
-    them in-row (array_intersect, pure codegen) — the corpus is never
+    set and all k minhash components, MATERIALIZED once (eager local
+    checkpoint): the candidate branch and the two re-score join sides
+    each prune different columns out of the aggregate, which defeats
+    Spark's exchange reuse — without the checkpoint the corpus explosion
+    + posting shuffle + per-doc aggregation ran THREE times (pinned by
+    the r6 before/after plans). The exact re-score then joins the small
+    candidate set back to the per-doc shingle-HASH arrays and intersects
+    them in-row (array_intersect over xxhash64(shingle) longs — same set
+    cardinalities as the string sets, 64-bit collision odds ~n^2/2^65,
+    the same contract the incremental store ships; verified hash-equal
+    vs the string-set oracle at sf0.001/0.01/0.1) — the corpus is never
     exploded or self-joined again.
     """
     sh = shingles(df, text_col, id_col, n, max_shingle_docs=max_shingle_docs)
     base = base31("shingle", portable)
     hs = _derived(base, k)
     perdoc = sh.groupBy("id").agg(
-        F.collect_set("shingle").alias("shs"),
+        F.collect_set(F.xxhash64("shingle")).alias("shs"),
         *[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hs)],
-    )
+    ).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
         perdoc.drop("shs"), k=k, n_bands=n_bands, max_bucket_size=max_bucket_size
     )
@@ -659,15 +694,25 @@ def simhash_pairs_banded(
     )
     if max_bucket_size is not None:
         bucket = bucket.filter(F.size("xs") <= max_bucket_size)
+    # array_sort on array<struct> orders by the leading field (id, unique),
+    # so the in-row tail expansion emits exactly the a.id < b.id pairs
+    pairs_col = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     cand = (
-        bucket.select(F.explode("xs").alias("a"), "xs")
-        .select("a", F.explode("xs").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
+        bucket.select(F.array_sort("xs").alias("xs"))
+        .select(F.explode(pairs_col).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.simhash").alias("ha"),
+            F.col("p.b.simhash").alias("hb"),
         )
         .distinct()
     )

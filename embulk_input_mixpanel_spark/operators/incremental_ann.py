@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.lake import ConcurrentCommitError, LakeTable, lake_buckets_of
-from .similarity import _rebalance, _to_double, cosine
+from .similarity import _cosine_n, _norm, _rebalance, _to_double
 
 __all__ = ["IncrementalANN"]
 
@@ -233,9 +233,15 @@ class IncrementalANN:
     def _score_against_centroids(self, vecs: DataFrame) -> DataFrame:
         """(id, v) -> (id, v, cluster, cos_r): broadcast-centroid score +
         one partial-agg argmax."""
-        scored = F.broadcast(self._centroids()).join(vecs).select(
+        cent = self._centroids().select(
+            "centroid_id", "_cv", _norm("_cv").alias("_cn")
+        )
+        vn = vecs.select("id", "v", _norm("v").alias("_vn"))
+        scored = F.broadcast(cent).join(vn).select(
             "id", "centroid_id",
-            F.round(cosine(F.col("v"), F.col("_cv")), 4).alias("cos_r"),
+            F.round(
+                _cosine_n("v", "_cv", F.col("_vn"), F.col("_cn")), 4
+            ).alias("cos_r"),
         )
         return _argmax_centroid(scored).join(vecs, "id")
 
@@ -560,10 +566,15 @@ class IncrementalANN:
         q = q.join(gone.withColumnRenamed("id", "query_id"), "query_id", "left_anti")
         # |q| rows; referenced by both the probe subtree and the rescore
         # join — checkpoint so the corpus scan behind it runs once
-        q = q.localCheckpoint(eager=True)
-        qc = F.broadcast(q).join(cent).select(
+        q = q.select(
+            "query_id", "_qv", _norm("_qv").alias("_qn")
+        ).localCheckpoint(eager=True)
+        centn = cent.select("centroid_id", "_cv", _norm("_cv").alias("_cn"))
+        qc = F.broadcast(q).join(centn).select(
             "query_id", "centroid_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("ccos"),
+            F.round(
+                _cosine_n("_qv", "_cv", F.col("_qn"), F.col("_cn")), 4
+            ).alias("ccos"),
         )
         wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
         # eager checkpoint: probed feeds BOTH the cluster collect below
@@ -579,6 +590,8 @@ class IncrementalANN:
         snap_files = self.vectors.snapshot().files
         cand_src = self.vectors.read(buckets=clusters).select(
             "cluster", F.col("id").alias("neighbor_id"), F.col("v").alias("_nv")
+        ).select(
+            "cluster", "neighbor_id", "_nv", _norm("_nv").alias("_nn")
         ).join(
             gone.withColumnRenamed("id", "neighbor_id"), "neighbor_id", "left_anti"
         )
@@ -588,7 +601,9 @@ class IncrementalANN:
             .join(F.broadcast(q), "query_id")
             .select(
                 "query_id", "neighbor_id",
-                F.round(cosine(F.col("_qv"), F.col("_nv")), 4).alias("cos_r"),
+                F.round(
+                    _cosine_n("_qv", "_nv", F.col("_qn"), F.col("_nn")), 4
+                ).alias("cos_r"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))

@@ -75,6 +75,7 @@ def merge_upsert(
     op_col: str = "op",
     tiebreak_col: str = "event_id",
     tombstones: bool = True,
+    pre_repartition: tuple[int, list[str]] | None = None,
 ) -> DataFrame:
     """MERGE INTO target USING source ON key — latest-wins, delete-aware.
 
@@ -98,6 +99,19 @@ def merge_upsert(
     for why this beats a join at skewed keys), with a source-priority flag
     so a byte-identical redelivery of the stored row resolves
     deterministically. Output: complete new contents for the covered keys.
+
+    ``pre_repartition=(n, cols)``: repartition the union by ``cols`` (a
+    prefix subset of ``key_cols``, e.g. the storage bucket) before the
+    aggregation. The aggregate's clustering requirement is then already
+    satisfied, so NO second exchange is planned — the single shuffle both
+    groups the keys and lands the output on its storage partitioning.
+    Without it the merge paid two full-width exchanges per batch: the
+    groupBy hash shuffle and the write-layout repartition (guide §2.4
+    "two operations keyed the same way can share one exchange"). The
+    trade: partial aggregation then runs above the exchange instead of
+    below it — irrelevant here because target keys are already unique and
+    source rows are pre-reduced winners, so map-side combine had nothing
+    to merge anyway.
     """
     t = target.withColumn("_src", F.lit(0))
     if op_col not in t.columns:
@@ -105,9 +119,11 @@ def merge_upsert(
         t = t.withColumn(op_col, F.lit("U"))
     s = source_winners.withColumn("_src", F.lit(1))
     order = order_cols + ([tiebreak_col] if tiebreak_col in s.columns else []) + ["_src"]
-    merged = latest_wins(
-        t.unionByName(s, allowMissingColumns=True), key_cols, order, tiebreak_col=None
-    )
+    u = t.unionByName(s, allowMissingColumns=True)
+    if pre_repartition is not None:
+        n, cols = pre_repartition
+        u = u.repartition(n, *[F.col(c) for c in cols])
+    merged = latest_wins(u, key_cols, order, tiebreak_col=None)
     if not tombstones:
         merged = merged.filter(F.col(op_col) != F.lit("D"))
     return merged.drop("_src")

@@ -51,8 +51,35 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays (JVM fold, no UDF)."""
+    """Cosine similarity of two double arrays (JVM fold, no UDF).
+
+    The fold form is deliberate: an unrolled ``a1*b1 + a2*b2 + ...``
+    chain was A/B'd at sf1.0 and lost (signature projection 2.5s vs 0.7s
+    steady-state; embedding_neardup_lsh 30s vs 8.5s) — the deep Add tree
+    evaluates through the recursive expression interpreter in the
+    Generate/ObjectHashAggregate stages these dots live in, where the
+    HOF fold's tight Scala loop wins.
+    """
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def _cosine_n(a: str, b: str, na: Column, nb: Column) -> Column:
+    """Cosine with the self-dot-products precomputed ONCE per row.
+
+    ``a``/``b`` are column NAMES (materialized projections);
+    ``na``/``nb`` must be the exact ``_dot(x, x)`` of the same arrays,
+    carried from the row's projection — the expression tree is then
+    bit-identical to :func:`cosine` (same left-to-right fold, same
+    multiply, same sqrt), but each vector's norm fold runs once per ROW
+    instead of once per scored PAIR (guide §1.2 per-task work: a pair
+    join scores |candidates| pairs, so inline norms cost 2 extra
+    64-element folds per pair — ~2/3 of the cosine arithmetic)."""
+    return _dot(F.col(a), F.col(b)) / F.sqrt(na * nb)
+
+
+def _norm(v: str) -> Column:
+    """Self dot product of a NAMED array column."""
+    return _dot(F.col(v), F.col(v))
 
 
 def brute_force_topk(
@@ -69,15 +96,20 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(vec_col).alias("_qv")
-    )
-    c = _rebalance(corpus).select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv"))
+    ).select("query_id", "_qv", _norm("_qv").alias("_qn"))
+    c = _rebalance(corpus).select(
+        F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_cv")
+    ).select("neighbor_id", "_cv", _norm("_cv").alias("_cn"))
     scored = (
         F.broadcast(q)
         .join(c, F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cos_r"),
+            F.round(
+                _cosine_n("_qv", "_cv", F.col("_qn"), F.col("_cn")),
+                4,
+            ).alias("cos_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))
@@ -133,32 +165,38 @@ def lsh_bucket_candidates(
         )
     planes = hyperplanes(dim, n_planes, seed)
 
-    corpus = _rebalance(corpus)
-    v = _to_double(vec_col)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(w) for w in planes[p]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit("1"),
+    # materialize the double-cast vector in its OWN projection before the
+    # per-plane folds reference it (CLAUDE.md HOF rule: subexpressions
+    # referenced inside lambda bodies re-evaluate per reference — inlined,
+    # the cast-transform would run once per PLANE instead of once per row)
+    step = _rebalance(corpus).select(
+        F.col(id_col).alias("id"), _to_double(vec_col).alias("_v")
+    )
+    v = F.col("_v")
+
+    # plane dot as an UNROLLED sum built as ONE parsed SQL expression per
+    # plane (bit-identical to the fold: same left-to-right order, 0.0
+    # seed, double literals round-tripped via repr; see _dot/_dot_named)
+    def _plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v, F.array(*[F.lit(w) for w in planes[p]]), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .otherwise(F.lit("0"))
+
+    bits = [
+        F.when(_plane_dot(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in range(n_planes)
     ]
     per_band = n_planes // n_bands
     keys = F.array(
         *[F.concat(*bits[b * per_band : (b + 1) * per_band]) for b in range(n_bands)]
     )
-    e = corpus.select(F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bk"))
+    e = step.select("id", F.posexplode(keys).alias("band", "bk"))
     # bucket-list shape instead of a self-equi-join: the (expensive) plane
-    # signature fold runs ONCE, not once per join side (see
+    # signature scan runs ONCE, not once per join side (see
     # dedup.lsh_candidate_pairs for the rationale)
     bucket = (
         e.groupBy("band", "bk")
@@ -167,10 +205,12 @@ def lsh_bucket_candidates(
     )
     if max_bucket_size is not None:
         bucket = bucket.filter(F.size("ids") <= max_bucket_size)
+    from .dedup import _ordered_pairs
+
     return (
-        bucket.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        bucket.select(F.array_sort("ids").alias("ids"))
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -199,15 +239,22 @@ def neardup_pairs_lsh(
     cand = lsh_bucket_candidates(
         corpus, dim, n_planes, n_bands, seed, id_col, vec_col, max_bucket_size
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb"))
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va")
+    ).select("id_a", "_va", _norm("_va").alias("_na"))
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb")
+    ).select("id_b", "_vb", _norm("_vb").alias("_nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_r"),
+            F.round(
+                _cosine_n("_va", "_vb", F.col("_na"), F.col("_nb")),
+                4,
+            ).alias("cos_r"),
         )
         .filter(F.col("cos_r") >= threshold)
     )
@@ -230,14 +277,21 @@ def neardup_pairs(
 
     _guard_brute_force(corpus, "neardup_pairs", force)
     corpus = _rebalance(corpus)
-    a = corpus.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), _to_double(vec_col).alias("_va")
+    ).select("id_a", "_va", _norm("_va").alias("_na"))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), _to_double(vec_col).alias("_vb")
+    ).select("id_b", "_vb", _norm("_vb").alias("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos_r"),
+            F.round(
+                _cosine_n("_va", "_vb", F.col("_na"), F.col("_nb")),
+                4,
+            ).alias("cos_r"),
         )
         .filter(F.col("cos_r") >= threshold)
     )
@@ -260,12 +314,16 @@ def ivf_assign(
     """
     cent = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), _to_double(vec_col).alias("_cv")
-    )
-    v = _rebalance(corpus).select(F.col(id_col).alias("id"), _to_double(vec_col).alias("_v"))
+    ).select("centroid_id", "_cv", _norm("_cv").alias("_cn"))
+    v = _rebalance(corpus).select(
+        F.col(id_col).alias("id"), _to_double(vec_col).alias("_v")
+    ).select("id", "_v", _norm("_v").alias("_n"))
     scored = F.broadcast(cent).join(v).select(
         "id",
         "centroid_id",
-        F.round(cosine(F.col("_v"), F.col("_cv")), 4).alias("cos_r"),
+        F.round(
+            _cosine_n("_v", "_cv", F.col("_n"), F.col("_cn")), 4
+        ).alias("cos_r"),
     )
     # argmax as max-of-struct: a DeclarativeAggregate with map-side partial
     # aggregation, so only one row per (id, map task) reaches the shuffle —
@@ -317,6 +375,7 @@ def ivf_refine_assign(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     v = corpus.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("_v"))
+    vn = v.select("id", "_v", _norm("_v").alias("_n"))
     assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
     win = F.max(
         F.struct(
@@ -341,15 +400,22 @@ def ivf_refine_assign(
                 (F.col("s").cast("double") / F.col("n")).alias("m"),
             )
         )
-        cent = comp.groupBy("cluster").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
-            ).alias("_cv")
-        ).select(F.col("cluster").alias("centroid_id"), "_cv")
-        scored = F.broadcast(cent).join(v).select(
+        cent = (
+            comp.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+                ).alias("_cv")
+            )
+            .select(F.col("cluster").alias("centroid_id"), "_cv")
+            .select("centroid_id", "_cv", _norm("_cv").alias("_cn"))
+        )
+        scored = F.broadcast(cent).join(vn).select(
             "id",
             "centroid_id",
-            F.round(cosine(F.col("_v"), F.col("_cv")), 4).alias("cos_r"),
+            F.round(
+                _cosine_n("_v", "_cv", F.col("_n"), F.col("_cn")), 4
+            ).alias("cos_r"),
         )
         assign = (
             scored.groupBy("id")
@@ -375,14 +441,16 @@ def ivf_topk(
     assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
     cent = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), _to_double(vec_col).alias("_cv")
-    )
+    ).select("centroid_id", "_cv", _norm("_cv").alias("_cn"))
     q = corpus.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), _to_double(vec_col).alias("_qv")
-    )
+    ).select("query_id", "_qv", _norm("_qv").alias("_qn"))
     qc = F.broadcast(q).join(cent).select(
         "query_id",
         "centroid_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("ccos"),
+        F.round(
+            _cosine_n("_qv", "_cv", F.col("_qn"), F.col("_cn")), 4
+        ).alias("ccos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
     probed = (
@@ -390,16 +458,26 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("query_id", F.col("centroid_id").alias("cluster"))
     )
-    cand = probed.join(assign, "cluster").select("query_id", F.col("id").alias("neighbor_id"))
+    # probed is <= |q| * n_probe tiny rows: broadcast it so the corpus
+    # assignment is never shuffled (pre-r6 this planned a SortMergeJoin
+    # that exchanged + sorted the full assign side)
+    cand = F.broadcast(probed).join(assign, "cluster").select(
+        "query_id", F.col("id").alias("neighbor_id")
+    )
     cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    v = corpus.select(F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_nv"))
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("_nv")
+    ).select("neighbor_id", "_nv", _norm("_nv").alias("_nn"))
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(v, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_nv")), 4).alias("cos_r"),
+            F.round(
+                _cosine_n("_qv", "_nv", F.col("_qn"), F.col("_nn")),
+                4,
+            ).alias("cos_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), F.asc("neighbor_id"))

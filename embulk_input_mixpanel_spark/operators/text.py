@@ -71,17 +71,25 @@ def stopword_ratio(text_col: str | Column) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality signals (all per-row double math)."""
-    t = tokens(text_col)
+    """Per-document quality signals (all per-row double math).
+
+    The token array is materialized in its OWN projection before any
+    reference (CLAUDE.md HOF rule): inlined, the regex split re-runs once
+    per consuming expression — 4x per row here (size + the filter lambda +
+    two ratio denominators)."""
+    step = df.select(
+        F.col(id_col), F.col(text_col).alias("_txt"), tokens(text_col).alias("_toks")
+    )
+    t = F.col("_toks")
     n_tok = F.size(t)
-    n_alpha = F.length(F.regexp_replace(text_col, r"\s", ""))
-    n_punct = F.length(text_col) - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
-    return df.select(
+    n_alpha = F.length(F.regexp_replace("_txt", r"\s", ""))
+    n_punct = F.length("_txt") - F.length(F.regexp_replace("_txt", r"[^\w\s]", ""))
+    return step.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         (_hits(t, STOPWORDS).cast("double") / n_tok).alias("stop_ratio"),
         F.round(n_alpha.cast("double") / n_tok, 6).alias("avg_token_len"),
-        F.round(n_punct.cast("double") / F.greatest(F.length(text_col), F.lit(1)), 6).alias(
+        F.round(n_punct.cast("double") / F.greatest(F.length("_txt"), F.lit(1)), 6).alias(
             "punct_ratio"
         ),
     )
@@ -93,8 +101,15 @@ def lang_scores(text_col: str | Column) -> list[Column]:
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-vote language ID with deterministic >=-tiebreak order."""
-    scored = df.select(F.col(id_col), *lang_scores(text_col))
+    """Marker-vote language ID with deterministic >=-tiebreak order.
+
+    Tokens materialize once per row (own projection), then the four
+    marker-filter lambdas reference the array — not the split expression
+    (which would otherwise re-run per language)."""
+    scored = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col),
+        *[_hits(F.col("_toks"), LANG_MARKERS[lang]).alias(f"s_{lang}") for lang in LANG_MARKERS],
+    )
     langs = list(LANG_MARKERS)
     pred = None
     # lang_i wins if its score >= all later scores (ties -> earlier lang)

@@ -560,17 +560,23 @@ def bpe_token_stats(spark, sf_dir):
     """,
 )
 def quality_score(spark, sf_dir):
-    """Quality signals: stopword ratio + mean token length (per-row math)."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    """Quality signals: stopword ratio + mean token length (per-row math).
+    Token array materialized once per row (own projection) before the
+    size/filter references — inlined, the regex split ran 4x per row."""
+    step = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"\s", "")).alias("_n_alpha"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    n_alpha = F.length(F.regexp_replace("text", r"\s", ""))
-    return load(spark, sf_dir, "documents").select(
+    return step.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         (n_stop.cast("double") / n_tokens).alias("stop_ratio"),
-        F.round(n_alpha.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(F.col("_n_alpha").cast("double") / n_tokens, 6).alias("avg_token_len"),
     )
 
 
