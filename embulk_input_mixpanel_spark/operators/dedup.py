@@ -342,27 +342,6 @@ def shingles(
     )
 
 
-def _ordered_pairs(ids: Column) -> Column:
-    """All (a, b) pairs with a < b from a SORTED distinct array, expanded
-    in-row: flatten of per-index tail slices.
-
-    Replaces the explode-explode-filter shape: that generates n^2 rows and
-    keeps n(n-1)/2; this emits exactly the kept pairs (half the Generate
-    output, no post-filter). ``ids`` must be a materialized column
-    reference (the caller array_sorts in its own projection first — the
-    CLAUDE.md HOF rule), and sorted so that slice tails give a < b.
-    """
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-
-
 def _jaccard_from_intersections(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -397,9 +376,11 @@ def ngram_jaccard_pairs(
     checkpoint) so the sizes branch and the two size-join references do
     not each recompute the explosion+posting subtree (pre-r6 the corpus
     was exploded 3x — branch-specific column pruning defeats Spark's
-    exchange reuse); then intra-posting ORDERED pair expansion in-row
-    (:func:`_ordered_pairs` — emits each a < b pair once instead of
-    exploding the full n^2 cross).
+    exchange reuse); then intra-posting pair expansion. The pipelined
+    explode-explode-filter expansion was A/B'd against an in-row sorted
+    tail expansion at sf1.0 (1.2B generated pair rows) and is equal or
+    faster — the in-row form materializes up to C(cap, 2) structs per
+    posting row, which costs what the halved row count saves.
     """
     posting = shingle_postings(df, text_col, id_col, n, max_shingle_docs).localCheckpoint(
         eager=True
@@ -411,9 +392,9 @@ def ngram_jaccard_pairs(
     )
     inter = (
         posting.filter(F.size("ids") >= 2)  # singletons produce no pairs
-        .select(F.array_sort("ids").alias("ids"))
-        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -514,9 +495,9 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         bucket = bucket.filter(F.size("ids") <= max_bucket_size)
     return (
-        bucket.select(F.array_sort("ids").alias("ids"))
-        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        bucket.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -694,25 +675,15 @@ def simhash_pairs_banded(
     )
     if max_bucket_size is not None:
         bucket = bucket.filter(F.size("xs") <= max_bucket_size)
-    # array_sort on array<struct> orders by the leading field (id, unique),
-    # so the in-row tail expansion emits exactly the a.id < b.id pairs
-    pairs_col = F.flatten(
-        F.transform(
-            F.col("xs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("xs"), i + F.lit(2), F.size(F.col("xs"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     cand = (
-        bucket.select(F.array_sort("xs").alias("xs"))
-        .select(F.explode(pairs_col).alias("p"))
+        bucket.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.col("p.a.simhash").alias("ha"),
-            F.col("p.b.simhash").alias("hb"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
         )
         .distinct()
     )

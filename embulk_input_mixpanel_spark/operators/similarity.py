@@ -205,12 +205,10 @@ def lsh_bucket_candidates(
     )
     if max_bucket_size is not None:
         bucket = bucket.filter(F.size("ids") <= max_bucket_size)
-    from .dedup import _ordered_pairs
-
     return (
-        bucket.select(F.array_sort("ids").alias("ids"))
-        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        bucket.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
