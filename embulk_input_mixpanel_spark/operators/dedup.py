@@ -390,13 +390,37 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.count("*").alias("sz"))
     )
+    # pair key PACKED into one long (id_a << 32 | id_b) for the count
+    # aggregation: the exchange under this groupBy carries one long
+    # instead of two (pairs repeat ~10x across postings at sf1.0, so the
+    # partial agg leaves most of the ~1.2B generated rows on the wire) —
+    # A/B'd at sf1.0: 13.7s -> 9.2s for the inter stage. Valid iff ids
+    # fit the split (0 <= id_a < 2^31, 0 <= id_b < 2^32); asserted
+    # per row (4 codegen comparisons) so an oversized id fails loudly
+    # instead of silently colliding pairs.
+    ok = (
+        (F.col("id_a") >= 0)
+        & (F.col("id_a") < F.lit(1 << 31))
+        & (F.col("id_b") >= 0)
+        & (F.col("id_b") < F.lit(1 << 32))
+    )
     inter = (
         posting.filter(F.size("ids") >= 2)  # singletons produce no pairs
         .select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .select(
+            F.when(ok, F.shiftleft("id_a", 32).bitwiseOR(F.col("id_b")))
+            .otherwise(F.raise_error(F.lit("ngram_jaccard_pairs: doc id out of 32-bit pack range")))
+            .alias("pk")
+        )
+        .groupBy("pk")
         .agg(F.count("*").alias("inter"))
+        .select(
+            F.shiftright("pk", 32).alias("id_a"),
+            F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("id_b"),
+            "inter",
+        )
     )
     return _jaccard_from_intersections(inter, sizes, threshold)
 
